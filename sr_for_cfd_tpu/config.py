@@ -1,0 +1,278 @@
+"""Case/configuration layer (L0).
+
+TPU-native re-design of the reference's plain config objects
+(`LDV PyCFD given by sir.py:9-73`, `bfs code given by sir.py:9-85`).
+The four reference scripts each carry their own copy of these classes; here
+they are unified once, with the BFS-only extras (relaxation factors, BFS
+geometry) folded in as options (SURVEY.md section 2.4 "variant matrix").
+
+Everything in this module is static (hashable) configuration: it selects the
+traced program (scheme, BC types, grid shape) at `jax.jit` trace time.
+Boundary *values* become traced scalars inside the kernels.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Dict, Optional, Tuple
+
+SIDES = ("left", "right", "top", "bottom")
+
+DIRICHLET = "dirichlet"
+NEUMANN = "neumann"
+
+QUICK = "QUICK"
+UPWIND = "UPWIND"
+
+
+@dataclass(frozen=True)
+class BoundaryCondition:
+    """One side's boundary condition (reference `BoundaryCondition`,
+    `LDV PyCFD given by sir.py:9-13`)."""
+
+    type: str = DIRICHLET  # 'dirichlet' or 'neumann'
+    value: float = 0.0
+
+    def __post_init__(self):
+        if self.type not in (DIRICHLET, NEUMANN):
+            raise ValueError(f"Unknown BC type {self.type!r}")
+
+
+def _bc_map(**kwargs: BoundaryCondition) -> Dict[str, BoundaryCondition]:
+    out = {}
+    for side in SIDES:
+        out[side] = kwargs.get(side, BoundaryCondition(DIRICHLET, 0.0))
+    return out
+
+
+@dataclass(frozen=True)
+class VariableBCs:
+    """Per-variable BCs for the four sides. Frozen and hashable so that the
+    BC *types* specialize the jitted program while values are closed over."""
+
+    left: BoundaryCondition = BoundaryCondition()
+    right: BoundaryCondition = BoundaryCondition()
+    top: BoundaryCondition = BoundaryCondition()
+    bottom: BoundaryCondition = BoundaryCondition()
+
+    def __getitem__(self, side: str) -> BoundaryCondition:
+        return getattr(self, side)
+
+    def replace(self, **kw) -> "VariableBCs":
+        return dataclasses.replace(self, **kw)
+
+
+class BoundaryConditions:
+    """Container for u/v/p boundary conditions.
+
+    Mirrors the reference container (`LDV PyCFD given by sir.py:15-35`): the
+    default is the single-lid-driven cavity (u_top = 1, everything else
+    no-slip, pressure Neumann everywhere).
+    """
+
+    def __init__(self):
+        self.u_boundaries: Dict[str, BoundaryCondition] = _bc_map(
+            top=BoundaryCondition(DIRICHLET, 1.0)
+        )
+        self.v_boundaries: Dict[str, BoundaryCondition] = _bc_map()
+        self.p_boundaries: Dict[str, BoundaryCondition] = {
+            s: BoundaryCondition(NEUMANN, 0.0) for s in SIDES
+        }
+
+    # ---- presets -----------------------------------------------------
+    @classmethod
+    def lid_driven_cavity(cls, lid_velocity: float = 1.0) -> "BoundaryConditions":
+        bc = cls()
+        bc.u_boundaries["top"] = BoundaryCondition(DIRICHLET, lid_velocity)
+        return bc
+
+    @classmethod
+    def double_lid_cavity(cls, lid_velocity: float = 1.0) -> "BoundaryConditions":
+        """Double-lid cavity: u moving on both top and bottom (data-creation
+        notebook default, sr-simulation-data-creation.ipynb cell 2)."""
+        bc = cls()
+        bc.u_boundaries["top"] = BoundaryCondition(DIRICHLET, lid_velocity)
+        bc.u_boundaries["bottom"] = BoundaryCondition(DIRICHLET, lid_velocity)
+        return bc
+
+    @classmethod
+    def bfs(cls) -> "BoundaryConditions":
+        """Backward-facing-step base BCs (`bfs code given by sir.py:836-853`):
+        velocity outlet Neumann on the right, walls top/bottom, placeholder
+        left (overridden by the BFS inlet profile); pressure Dirichlet 0 at
+        the outlet, Neumann elsewhere."""
+        bc = cls()
+        bc.u_boundaries = _bc_map(right=BoundaryCondition(NEUMANN, 0.0))
+        bc.v_boundaries = _bc_map(right=BoundaryCondition(NEUMANN, 0.0))
+        bc.p_boundaries = {
+            "left": BoundaryCondition(NEUMANN, 0.0),
+            "right": BoundaryCondition(DIRICHLET, 0.0),
+            "top": BoundaryCondition(NEUMANN, 0.0),
+            "bottom": BoundaryCondition(NEUMANN, 0.0),
+        }
+        return bc
+
+    # ---- static/frozen views ----------------------------------------
+    def frozen(self, var: str) -> VariableBCs:
+        d = {"u": self.u_boundaries, "v": self.v_boundaries, "p": self.p_boundaries}[var]
+        return VariableBCs(**{s: d[s] for s in SIDES})
+
+
+@dataclass(frozen=True)
+class MeshParameters:
+    """Uniform collocated grid with one ghost ring
+    (reference `MeshParameters`, `LDV PyCFD given by sir.py:37-46`)."""
+
+    nx: int = 100
+    ny: int = 100
+    lx: float = 1.0
+    ly: float = 1.0
+
+    @property
+    def dx(self) -> float:
+        return self.lx / self.nx
+
+    @property
+    def dy(self) -> float:
+        return self.ly / self.ny
+
+    @property
+    def volp(self) -> float:
+        return self.dx * self.dy
+
+
+@dataclass(frozen=True)
+class FluidProperties:
+    """Non-dimensionalized fluid (reference `FluidProperties`,
+    `LDV PyCFD given by sir.py:48-54`): nu = 1/Re with U = L = 1."""
+
+    Re: float = 100.0
+    rho: float = 1.0
+
+    @property
+    def nu(self) -> float:
+        return 1.0 / self.Re
+
+
+@dataclass(frozen=True)
+class BFSGeometry:
+    """Backward-facing-step inlet geometry (`bfs code given by sir.py:146-184,
+    856-862`): no-slip wall for cell centers below `step_height`, parabolic
+    inlet u(y') = 6 Ub (y'/h)(1 - y'/h) over the opening of height `h`."""
+
+    step_height: float = 1.0
+    h: float = 2.0
+    Ub: float = 1.0
+
+
+_DEFAULT_CRITERIA = (("u", 1e-6), ("v", 1e-6), ("p", 1e-6), ("continuity", 1e-6))
+_NO_RELAX = (("u", 1.0), ("v", 1.0), ("p", 1.0))
+_BFS_RELAX = (("u", 0.5), ("v", 0.5), ("p", 0.2))
+
+
+@dataclass(frozen=True)
+class SolverSettings:
+    """Unified solver settings: the reference's `SolverSettings`
+    (`LDV PyCFD given by sir.py:56-73`) plus the BFS variant's relaxation
+    factors (`bfs code given by sir.py:56-85`) and TPU-specific knobs.
+
+    `inner_scheme` selects the deterministic replacement for the reference's
+    racy asynchronous Gauss-Seidel sweeps (SURVEY.md section 5.2):
+    'redblack' (default, GS-like convergence) or 'jacobi'.
+
+    `relaxation_factors` of 1.0 disable under-relaxation, reproducing the
+    cavity baselines; the BFS default is (0.5, 0.5, 0.2).
+    """
+
+    dt: float = 0.001
+    max_iterations: int = 100000
+    convergence_criteria: Tuple[Tuple[str, float], ...] = _DEFAULT_CRITERIA
+    scheme: str = QUICK  # 'QUICK' or 'UPWIND'
+    relaxation_factors: Tuple[Tuple[str, float], ...] = _NO_RELAX
+    # Inner point-iteration sweeps (reference hard-codes 1e-6 / 1000,
+    # `LDV PyCFD given by sir.py:519-520`).
+    inner_tolerance: float = 1e-6
+    inner_max_iter: int = 1000
+    inner_scheme: str = "redblack"  # 'redblack' | 'jacobi'
+    # TPU production runs in float32; float64 is the CPU validation mode.
+    dtype: str = "float32"
+    # Host round-trip cadence for logging / convergence checks.
+    chunk_size: int = 100
+    # Use the fused Pallas outer-step kernel on TPU when available.
+    use_pallas: bool = False
+
+    def __post_init__(self):
+        if self.scheme not in (QUICK, UPWIND):
+            raise ValueError(f"Unknown scheme {self.scheme!r}")
+        if self.inner_scheme not in ("redblack", "jacobi"):
+            raise ValueError(f"Unknown inner scheme {self.inner_scheme!r}")
+
+    @staticmethod
+    def make(
+        dt: float = 0.001,
+        max_iterations: int = 100000,
+        convergence_criteria: Optional[Dict[str, float]] = None,
+        scheme: str = QUICK,
+        relaxation_factors: Optional[Dict[str, float]] = None,
+        **kw,
+    ) -> "SolverSettings":
+        """Dict-friendly constructor matching the reference's signature."""
+        crit = dict(_DEFAULT_CRITERIA)
+        if convergence_criteria:
+            crit.update(convergence_criteria)
+        relax = dict(_NO_RELAX)
+        if relaxation_factors:
+            relax.update(relaxation_factors)
+        return SolverSettings(
+            dt=dt,
+            max_iterations=max_iterations,
+            convergence_criteria=tuple(sorted(crit.items())),
+            scheme=scheme,
+            relaxation_factors=tuple(sorted(relax.items())),
+            **kw,
+        )
+
+    def criterion(self, var: str) -> float:
+        return dict(self.convergence_criteria)[var]
+
+    def relax(self, var: str) -> float:
+        return dict(self.relaxation_factors)[var]
+
+
+@dataclass(frozen=True)
+class CaseConfig:
+    """One fully-specified flow case: the static trace key for the solver."""
+
+    mesh: MeshParameters
+    fluid: FluidProperties
+    settings: SolverSettings
+    u_bc: VariableBCs
+    v_bc: VariableBCs
+    p_bc: VariableBCs
+    bfs: Optional[BFSGeometry] = None
+    case_name: str = "lid driven cavity"
+    bc_label: str = "lid_driven_cavity"
+
+    @classmethod
+    def build(
+        cls,
+        mesh: MeshParameters,
+        fluid: FluidProperties,
+        settings: SolverSettings,
+        bc: BoundaryConditions,
+        bfs: Optional[BFSGeometry] = None,
+        case_name: str = "lid driven cavity",
+        bc_label: str = "lid_driven_cavity",
+    ) -> "CaseConfig":
+        return cls(
+            mesh=mesh,
+            fluid=fluid,
+            settings=settings,
+            u_bc=bc.frozen("u"),
+            v_bc=bc.frozen("v"),
+            p_bc=bc.frozen("p"),
+            bfs=bfs,
+            case_name=case_name,
+            bc_label=bc_label,
+        )

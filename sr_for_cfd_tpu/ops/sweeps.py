@@ -1,0 +1,196 @@
+"""Inner implicit point-iteration sweeps (momentum and pressure-Poisson).
+
+The reference runs up to 1000 "chaotic" Gauss-Seidel point iterations per
+momentum/pressure solve with an early exit at RMS < 1e-6
+(`LDV PyCFD given by sir.py:517-583`), updating cells in place while other
+threads read them - converging in practice but nondeterministic (SURVEY.md
+section 5.2). Here the inner solve is a deterministic `lax.while_loop` over
+whole-array sweeps:
+
+  * 'redblack': two half-sweeps on a checkerboard coloring; the black
+    half-sweep sees updated red cells, preserving Gauss-Seidel-like
+    convergence rates while being embarrassingly parallel per color.
+  * 'jacobi': one simultaneous update per sweep; cheaper per sweep, slower
+    convergence.
+
+Either way the loop exits when the same residual RMS measure the reference
+uses - sqrt(sum R^2 / (nx ny)) - drops below `tol`, so converged outer
+solutions agree with the reference within tolerance even though
+per-iteration trajectories differ (by design).
+
+Ghost cells are frozen during an inner solve, exactly as in the reference
+(BCs are applied between kernels by the outer loop, never inside sweeps).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import QUICK
+from .stencil import FaceFluxes, diffusion, quick_convection, upwind_convection
+
+# residual_fn(phi) -> (R, ap) over the interior; ap may be scalar or array.
+ResidualFn = Callable[[jnp.ndarray], Tuple[jnp.ndarray, jnp.ndarray]]
+
+
+def checkerboard(nx: int, ny: int) -> np.ndarray:
+    """Static red mask over the interior (True = red = even i+j parity,
+    counting interior indices from 1 as the reference does)."""
+    ii = np.arange(1, nx + 1)[:, None]
+    jj = np.arange(1, ny + 1)[None, :]
+    return (ii + jj) % 2 == 0
+
+
+def momentum_residual(
+    phi: jnp.ndarray,
+    phi_old_int: jnp.ndarray,
+    ff: FaceFluxes,
+    scheme: str,
+    dx: float,
+    dy: float,
+    dt: float,
+    nu: float,
+    volp: float,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Momentum point residual R and diagonal ap
+    (`LDV PyCFD given by sir.py:526-531`):
+      R  = -(volp/dt (phi - phi_old) + Fc - nu Fd)
+      ap =   volp/dt + ap_c - nu ap_d
+    """
+    if scheme == QUICK:
+        fc, ap_c = quick_convection(phi, ff, volp)
+    else:
+        fc, ap_c = upwind_convection(phi, ff, volp)
+    fd, ap_d = diffusion(phi, dx, dy, volp)
+    c = phi[1:-1, 1:-1]
+    r = -(volp / dt * (c - phi_old_int) + fc - nu * fd)
+    ap = volp / dt + ap_c - nu * ap_d
+    return r, ap
+
+
+def pressure_residual(
+    p: jnp.ndarray,
+    div_sum: jnp.ndarray,
+    dx: float,
+    dy: float,
+    dt: float,
+    rho: float,
+    volp: float,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Pressure-Poisson point residual (`LDV PyCFD given by sir.py:571-577`):
+      R  = rho/dt sum(Ff) - Fd,   ap = ap_d  (note: ap_d < 0)
+    `div_sum` is the frozen RHS sum of face fluxes."""
+    fd, ap_d = diffusion(p, dx, dy, volp)
+    r = rho / dt * div_sum - fd
+    return r, jnp.full_like(r, ap_d)
+
+
+def sweep_loop(
+    phi: jnp.ndarray,
+    residual_fn: ResidualFn,
+    nx: int,
+    ny: int,
+    tol: float,
+    max_iter: int,
+    inner_scheme: str = "redblack",
+) -> jnp.ndarray:
+    """Iterate point sweeps until RMS(R) < tol or `max_iter` sweeps.
+
+    Returns the updated padded field. The early exit mirrors the reference's
+    hard-coded 1e-6 / 1000 inner loop (`LDV PyCFD given by sir.py:519-537`).
+    """
+    n_cells = nx * ny
+    dtype = phi.dtype
+    red = jnp.asarray(checkerboard(nx, ny))
+
+    if inner_scheme == "jacobi":
+
+        def body(carry):
+            f, _, it = carry
+            r, ap = residual_fn(f)
+            f = f.at[1:-1, 1:-1].add(r / ap)
+            rms = jnp.sqrt(jnp.sum(r * r) / n_cells)
+            return f, rms, it + 1
+
+    else:  # red-black Gauss-Seidel
+
+        def body(carry):
+            f, _, it = carry
+            r1, ap1 = residual_fn(f)
+            f = f.at[1:-1, 1:-1].add(jnp.where(red, r1 / ap1, 0.0))
+            r2, ap2 = residual_fn(f)
+            f = f.at[1:-1, 1:-1].add(jnp.where(red, 0.0, r2 / ap2))
+            ss = jnp.sum(jnp.where(red, r1 * r1, r2 * r2))
+            rms = jnp.sqrt(ss / n_cells)
+            return f, rms, it + 1
+
+    def cond(carry):
+        _, rms, it = carry
+        return jnp.logical_and(it < max_iter, rms >= tol)
+
+    init = (phi, jnp.asarray(jnp.inf, dtype=dtype), jnp.asarray(0, jnp.int32))
+    phi, _, _ = jax.lax.while_loop(cond, body, init)
+    return phi
+
+
+def solve_momentum(
+    phi: jnp.ndarray,
+    phi_old_int: jnp.ndarray,
+    ff: FaceFluxes,
+    *,
+    scheme: str,
+    dx: float,
+    dy: float,
+    dt: float,
+    nu: float,
+    volp: float,
+    tol: float = 1e-6,
+    max_iter: int = 1000,
+    inner_scheme: str = "redblack",
+) -> jnp.ndarray:
+    """Implicit momentum solve for one velocity component
+    (reference `solve_momentum_quick` / `solve_momentum_upwind`,
+    `LDV PyCFD given by sir.py:517-559`)."""
+    nx, ny = phi.shape[0] - 2, phi.shape[1] - 2
+    fn = partial(
+        momentum_residual,
+        phi_old_int=phi_old_int,
+        ff=ff,
+        scheme=scheme,
+        dx=dx,
+        dy=dy,
+        dt=dt,
+        nu=nu,
+        volp=volp,
+    )
+    return sweep_loop(phi, fn, nx, ny, tol, max_iter, inner_scheme)
+
+
+def solve_pressure(
+    p: jnp.ndarray,
+    ff: FaceFluxes,
+    *,
+    dx: float,
+    dy: float,
+    dt: float,
+    rho: float,
+    volp: float,
+    tol: float = 1e-6,
+    max_iter: int = 1000,
+    inner_scheme: str = "redblack",
+) -> jnp.ndarray:
+    """Pressure-Poisson solve (reference `solve_pressure`,
+    `LDV PyCFD given by sir.py:561-583`). The RHS (face-flux divergence) is
+    frozen for the whole inner solve, as in the reference."""
+    nx, ny = p.shape[0] - 2, p.shape[1] - 2
+    div_sum = ff.divergence_sum()
+    fn = partial(
+        pressure_residual, div_sum=div_sum, dx=dx, dy=dy, dt=dt, rho=rho,
+        volp=volp,
+    )
+    return sweep_loop(p, fn, nx, ny, tol, max_iter, inner_scheme)

@@ -1,0 +1,342 @@
+"""SIMPLE-style projection solver: outer loop and user-facing facade.
+
+TPU-native rebuild of the reference's `CFDSolver`
+(`LDV PyCFD given by sir.py:75-232`, BFS variant `bfs code given by
+sir.py:87-305`, ML variants `PyCFD_ML_accelerated.py:331-658`). One solver
+implements the union of the four reference copies (SURVEY.md section 2.4):
+under-relaxation, BFS inlet, NaN/Inf divergence guard, residual history and
+convergence logging are all options.
+
+Execution model: the whole outer iteration is a jitted pure function
+(`simple_step`); `run_chunk` wraps it in a `lax.while_loop` that runs up to
+`chunk_size` iterations on-device, and the host driver (`solve`) loops over
+chunks to provide the reference's observability (per-100-iteration residual
+prints, streaming convergence log, residual history) without breaking the
+hot path out of XLA.
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import (
+    BFSGeometry,
+    BoundaryConditions,
+    CaseConfig,
+    FluidProperties,
+    MeshParameters,
+    SolverSettings,
+)
+from ..ops.bc import BFSInletProfile, apply_bc, apply_bfs_inlet
+from ..ops.stencil import (
+    face_fluxes,
+    project_velocity,
+    residual_sumsq,
+    rhie_chow_update,
+    under_relax,
+)
+from ..ops.sweeps import solve_momentum, solve_pressure
+from .state import SolverState, init_state, inlet_profile, warm_start_state
+
+
+def simple_step(
+    state: SolverState, case: CaseConfig, profile: Optional[BFSInletProfile]
+) -> SolverState:
+    """One SIMPLE outer iteration (reference `_implicit_solve` +
+    `_convergence_check`, `LDV PyCFD given by sir.py:171-232`;
+    under-relaxed variant `bfs code given by sir.py:254-305`):
+
+      momentum u, v (inner implicit sweeps) -> under-relax -> BCs
+      -> face fluxes -> pressure-Poisson -> under-relax -> BC
+      -> velocity projection (+ residuals) -> u, v BCs -> Rhie-Chow flux fix
+      -> RMS convergence check (rms = sqrt(sum dVar^2 / (nx ny)) / dt)
+    """
+    mesh, fluid, st = case.mesh, case.fluid, case.settings
+    dx, dy, volp, dt = mesh.dx, mesh.dy, mesh.volp, st.dt
+    sweep_kw = dict(
+        tol=st.inner_tolerance,
+        max_iter=st.inner_max_iter,
+        inner_scheme=st.inner_scheme,
+    )
+
+    u, v, p = state.u, state.v, state.p
+
+    # -- momentum ------------------------------------------------------
+    u = solve_momentum(
+        u, state.u_old, state.ff, scheme=st.scheme, dx=dx, dy=dy, dt=dt,
+        nu=fluid.nu, volp=volp, **sweep_kw,
+    )
+    u = under_relax(u, state.u_old, st.relax("u"))
+    u = apply_bfs_inlet(apply_bc(u, case.u_bc), 0, profile)
+
+    v = solve_momentum(
+        v, state.v_old, state.ff, scheme=st.scheme, dx=dx, dy=dy, dt=dt,
+        nu=fluid.nu, volp=volp, **sweep_kw,
+    )
+    v = under_relax(v, state.v_old, st.relax("v"))
+    v = apply_bfs_inlet(apply_bc(v, case.v_bc), 1, profile)
+
+    # -- pressure ------------------------------------------------------
+    ff = face_fluxes(u, v, dx, dy)
+    p = solve_pressure(
+        p, ff, dx=dx, dy=dy, dt=dt, rho=fluid.rho, volp=volp, **sweep_kw
+    )
+    p = under_relax(p, state.p_old, st.relax("p"))
+    p = apply_bc(p, case.p_bc)
+
+    # -- projection + residuals ----------------------------------------
+    u, v = project_velocity(u, v, p, dt, fluid.rho, dx, dy)
+    res = jnp.stack(
+        [
+            residual_sumsq(u, state.u_old),
+            residual_sumsq(v, state.v_old),
+            residual_sumsq(p, state.p_old),
+        ]
+    )
+    u = apply_bfs_inlet(apply_bc(u, case.u_bc), 0, profile)
+    v = apply_bfs_inlet(apply_bc(v, case.v_bc), 1, profile)
+
+    ff = rhie_chow_update(ff, p, dt, fluid.rho, dx, dy)
+
+    # -- convergence check ---------------------------------------------
+    n_cells = mesh.nx * mesh.ny
+    rms = jnp.sqrt(res / n_cells) / dt
+    crit = jnp.asarray(
+        [st.criterion("u"), st.criterion("v"), st.criterion("p")],
+        dtype=rms.dtype,
+    )
+    converged = jnp.all(rms <= crit)
+    # NaN/Inf divergence guard (reference ML variants,
+    # `PyCFD_ML_accelerated.py:481-487`).
+    diverged = jnp.logical_not(jnp.all(jnp.isfinite(rms)))
+
+    return SolverState(
+        u=u,
+        v=v,
+        p=p,
+        u_old=u[1:-1, 1:-1],
+        v_old=v[1:-1, 1:-1],
+        p_old=p[1:-1, 1:-1],
+        ff=ff,
+        rms=rms,
+        count=state.count + 1,
+        converged=converged,
+        diverged=diverged,
+    )
+
+
+def _active(state: SolverState, max_iterations: int) -> jnp.ndarray:
+    return jnp.logical_and(
+        jnp.logical_and(~state.converged, ~state.diverged),
+        state.count < max_iterations,
+    )
+
+
+def run_chunk(
+    state: SolverState,
+    profile: Optional[BFSInletProfile],
+    case: CaseConfig,
+    n_steps: int,
+) -> SolverState:
+    """Run up to `n_steps` outer iterations on-device (stops early on
+    convergence/divergence/max_iterations)."""
+    step = partial(simple_step, case=case, profile=profile)
+
+    def body(carry):
+        s, i = carry
+        return step(s), i + 1
+
+    def cond(carry):
+        s, i = carry
+        return jnp.logical_and(i < n_steps, _active(s, case.settings.max_iterations))
+
+    state, _ = jax.lax.while_loop(cond, body, (state, jnp.asarray(0, jnp.int32)))
+    return state
+
+
+def run_to_convergence(
+    state: SolverState, profile: Optional[BFSInletProfile], case: CaseConfig
+) -> SolverState:
+    """Entire solve in a single on-device while_loop (no host round-trips);
+    used for benchmarking and the vmapped data-generation sweep."""
+    step = partial(simple_step, case=case, profile=profile)
+    return jax.lax.while_loop(
+        lambda s: _active(s, case.settings.max_iterations), step, state
+    )
+
+
+class ResidualHistory:
+    """Residual trace sampled every `chunk_size` iterations (reference
+    `residual_history`, `PyCFD_ML_accelerated.py:415-419`)."""
+
+    def __init__(self):
+        self.data: Dict[str, list] = {"u": [], "v": [], "p": []}
+        self.iterations: list = []
+
+    def append(self, count: int, rms: np.ndarray):
+        self.iterations.append(count)
+        for k, val in zip(("u", "v", "p"), rms):
+            self.data[k].append(float(val))
+
+    def __getitem__(self, k):
+        return self.data[k]
+
+    def __len__(self):
+        return len(self.iterations)
+
+
+class DivergenceError(ValueError):
+    """Raised when residuals go NaN/Inf (reference raises ValueError with
+    diagnostics, `PyCFD_ML_accelerated.py:481-487`)."""
+
+
+class CFDSolver:
+    """User-facing facade with the reference's `CFDSolver` API
+    (`LDV PyCFD given by sir.py:75-243`): construct from mesh / fluid /
+    settings / BCs, call `.solve(output_base_name)`, read `.Var`.
+
+    Internally purely functional: state lives in a `SolverState` pytree on
+    device; `.Var` materializes the reference layout on demand.
+    """
+
+    def __init__(
+        self,
+        mesh: MeshParameters,
+        fluid: FluidProperties,
+        solver_settings: SolverSettings,
+        bc: BoundaryConditions,
+        bfs: Optional[BFSGeometry] = None,
+        case_name: str = "lid driven cavity",
+        bc_label: str = "lid_driven_cavity",
+    ):
+        self.case = CaseConfig.build(
+            mesh, fluid, solver_settings, bc, bfs=bfs,
+            case_name=case_name, bc_label=bc_label,
+        )
+        self.profile = inlet_profile(self.case)
+        self.state = init_state(self.case)
+        self.residual_history = ResidualHistory()
+        self._chunk_fn = jax.jit(
+            partial(
+                run_chunk,
+                case=self.case,
+                n_steps=self.case.settings.chunk_size,
+            )
+        )
+        # results saver injected lazily to keep solver free of IO deps
+        self._saver: Optional[Callable] = None
+
+    # ---- reference-compatible accessors --------------------------------
+    @property
+    def mesh(self) -> MeshParameters:
+        return self.case.mesh
+
+    @property
+    def fluid(self) -> FluidProperties:
+        return self.case.fluid
+
+    @property
+    def settings(self) -> SolverSettings:
+        return self.case.settings
+
+    @property
+    def Var(self) -> np.ndarray:
+        return self.state.var()
+
+    @property
+    def nVar(self) -> int:
+        return 3
+
+    def interior_fields(self) -> Dict[str, np.ndarray]:
+        return self.state.interior_fields()
+
+    def warm_start(self, fields: Dict[str, np.ndarray]) -> None:
+        """Initialize from (ny, nx) interior fields (the reference's ML
+        injection path, `PyCFD_ML_accelerated.py:936-948`)."""
+        self.state = warm_start_state(self.case, fields)
+
+    # ---- main loop ------------------------------------------------------
+    def solve(
+        self,
+        output_base_name: str = "output",
+        verbose: bool = True,
+        log_convergence: bool = False,
+        save_results: bool = True,
+    ) -> Tuple[int, float]:
+        """Run to convergence or max_iterations. Returns
+        (iterations, elapsed_seconds) like the reference
+        (`LDV PyCFD given by sir.py:139-169`)."""
+        st = self.case.settings
+        start = time.time()
+        log_file = None
+        if log_convergence:
+            log_path = f"{output_base_name}_convergence.log"
+            log_file = open(log_path, "w")
+            log_file.write("# Convergence History\n")
+            log_file.write(f"# Reynolds number: {self.case.fluid.Re}\n")
+            log_file.write(f"# Mesh: {self.mesh.nx}x{self.mesh.ny}\n")
+            log_file.write(f"# Time step: {st.dt}\n")
+            log_file.write(f"# Scheme: {st.scheme}\n")
+            log_file.write("# Iteration\tU_RMS\t\tV_RMS\t\tP_RMS\t\tTime(s)\n")
+            log_file.flush()
+
+        if verbose:
+            print(
+                f"Starting simulation with Re={self.case.fluid.Re}, "
+                f"mesh={self.mesh.nx}x{self.mesh.ny}"
+            )
+            print(f"Time step: {st.dt}, Scheme: {st.scheme}")
+            print("\nIteration\tU-RMS\t\tV-RMS\t\tP-RMS")
+            print("-" * 60)
+
+        try:
+            while True:
+                self.state = self._chunk_fn(self.state, self.profile)
+                count = int(self.state.count)
+                rms = np.asarray(self.state.rms)
+                self.residual_history.append(count, rms)
+                if verbose:
+                    print(
+                        f"{count}\t{rms[0]:.6e}\t{rms[1]:.6e}\t{rms[2]:.6e}"
+                    )
+                if log_file:
+                    log_file.write(
+                        f"{count}\t{rms[0]:.6e}\t{rms[1]:.6e}\t{rms[2]:.6e}"
+                        f"\t{time.time() - start:.3f}\n"
+                    )
+                    log_file.flush()
+                if bool(self.state.diverged):
+                    raise DivergenceError(
+                        f"Solution diverged at iteration {count}: "
+                        f"RMS = {rms.tolist()} (NaN/Inf detected). "
+                        f"Try a smaller dt or stronger under-relaxation."
+                    )
+                if bool(self.state.converged) or count >= st.max_iterations:
+                    break
+        finally:
+            if log_file:
+                log_file.close()
+
+        elapsed = time.time() - start
+        if verbose:
+            print(f"\nSimulation completed in {elapsed:.2f} seconds")
+            print(f"Total iterations: {int(self.state.count)}")
+
+        if save_results:
+            self._save_results(output_base_name)
+        return int(self.state.count), elapsed
+
+    # ---- output ---------------------------------------------------------
+    def _save_results(self, output_base_name: str) -> None:
+        """Full artifact suite per run (same set as the reference,
+        SURVEY.md section 5.5): .dat fields + centerline, HDF5 group,
+        centerline/contour/convergence PNGs."""
+        from ..io.results import save_all_results
+
+        save_all_results(self, output_base_name)
