@@ -1,0 +1,197 @@
+"""ML super-resolution inference: the coarse -> fine field upsampling stage.
+
+TPU-native rebuild of the reference's `ml_super_resolution`
+(`PyCFD_ML_accelerated.py:764-879`; BFS variant with aspect-ratio correction
+and adaptive normalization `bfs_ml_accelerated.py:979-1137`). The whole
+per-component pipeline - (optional rect->square resample) -> standardize ->
+encoder/decoder -> inverse-standardize -> (optional square->rect resample) -
+is one jitted function; all three components run as a single batch of 3
+through the network, and nothing round-trips to the host between stages.
+
+Aspect-ratio correction uses `jax.image.resize(..., method='cubic')` on the
+uniform grid where the reference uses SciPy's RectBivariateSpline(kx=ky=3)
+(`bfs_ml_accelerated.py:59-145`); both are bicubic resamplings, differing
+only in boundary treatment.
+
+A `BicubicSR` fallback model makes the hybrid workflow runnable before any
+AE is trained (the decoder weights are missing from the reference snapshot,
+SURVEY.md section 0).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.autoencoder import LATENT_DIM, SuperResolutionAE
+from ..models.standardize import (
+    COMPONENTS,
+    STD_FLOOR,
+    component_stats,
+    read_stats_file,
+)
+
+
+@dataclasses.dataclass
+class SRModel:
+    """A bundled apply-function + params for LR->HR prediction of a single
+    (N, lr, lr, 1) batch -> (N, hr, hr, 1)."""
+
+    lr_dim: int
+    hr_dim: int
+    params: Dict
+    module: SuperResolutionAE
+
+    @classmethod
+    def create(cls, lr_dim: int, hr_dim: int, params: Optional[Dict] = None,
+               latent_dim: int = LATENT_DIM, rng_seed: int = 0) -> "SRModel":
+        module = SuperResolutionAE(lr_dim, hr_dim, latent_dim)
+        if params is None:
+            params = module.init(
+                jax.random.key(rng_seed), jnp.zeros((1, lr_dim, lr_dim, 1))
+            )
+        return cls(lr_dim=lr_dim, hr_dim=hr_dim, params=params, module=module)
+
+    @classmethod
+    def from_checkpoint(cls, path: str, lr_dim: int, hr_dim: int,
+                        latent_dim: int = LATENT_DIM) -> "SRModel":
+        from ..io.checkpoint import load_params
+
+        model = cls.create(lr_dim, hr_dim, latent_dim=latent_dim)
+        params = load_params(path, model.params)
+        return dataclasses.replace(model, params=params)
+
+    def predict(self, x: jnp.ndarray) -> jnp.ndarray:
+        return self.module.apply(self.params, x)
+
+
+class BicubicSR:
+    """Weightless fallback: bicubic upsample LR -> HR in standardized space.
+    Keeps the hybrid pipeline testable/runnable without trained weights."""
+
+    def __init__(self, lr_dim: int, hr_dim: int):
+        self.lr_dim, self.hr_dim = lr_dim, hr_dim
+        self.params = None
+
+    def predict(self, x: jnp.ndarray) -> jnp.ndarray:
+        n = x.shape[0]
+        return jax.image.resize(
+            x, (n, self.hr_dim, self.hr_dim, 1), method="cubic"
+        )
+
+
+def resize_cubic(field: jnp.ndarray, shape) -> jnp.ndarray:
+    return jax.image.resize(field, shape, method="cubic")
+
+
+def _sr_core(
+    x_lr: jnp.ndarray,  # (3, src_ny, src_nx) raw fields, component order u,v,p
+    mean_lr: jnp.ndarray,  # (3,)
+    std_lr: jnp.ndarray,
+    mean_hr: jnp.ndarray,
+    std_hr: jnp.ndarray,
+    predict_fn,
+    lr_dim: int,
+    hr_dim: int,
+    out_shape,  # (ny, nx) of the returned fields
+    aspect_correct: bool,
+    blend_factor: float,
+    adaptive: bool,
+):
+    """Fused SR pipeline on-device; returns (3, out_ny, out_nx)."""
+    x = x_lr
+    if aspect_correct:
+        x = resize_cubic(x, (3, lr_dim, lr_dim))
+    if adaptive:
+        in_mean = jnp.mean(x, axis=(1, 2))
+        in_std = jnp.std(x, axis=(1, 2))
+        mean_lr = (1 - blend_factor) * mean_lr + blend_factor * in_mean
+        std_lr = (1 - blend_factor) * std_lr + blend_factor * jnp.maximum(
+            in_std, STD_FLOOR
+        )
+    std_lr = jnp.where(std_lr == 0, STD_FLOOR, std_lr)
+    x_norm = (x - mean_lr[:, None, None]) / std_lr[:, None, None]
+    pred = predict_fn(x_norm[..., None])[..., 0]  # (3, hr, hr)
+    pred = pred * std_hr[:, None, None] + mean_hr[:, None, None]
+    if aspect_correct:
+        pred = resize_cubic(pred, (3,) + tuple(out_shape))
+    # NaN/Inf scrub (reference replaces with zeros to protect the solver,
+    # `PyCFD_ML_accelerated.py:869-876`)
+    pred = jnp.nan_to_num(pred, nan=0.0, posinf=0.0, neginf=0.0)
+    return pred
+
+
+def ml_super_resolution(
+    coarse_fields: Dict[str, np.ndarray],
+    lr_dim: int,
+    hr_dim: int,
+    stats_file: Optional[str] = None,
+    model=None,
+    stats: Optional[Dict[str, float]] = None,
+    use_aspect_ratio_correction: bool = False,
+    lx: float = 1.0,
+    ly: float = 1.0,
+    use_adaptive_normalization: bool = False,
+    blend_factor: float = 0.3,
+    out_shape=None,
+    verbose: bool = True,
+) -> Dict[str, np.ndarray]:
+    """Super-resolve {u, v, p} coarse fields to {u, v, p} fine fields.
+
+    Reference-compatible options: `use_aspect_ratio_correction` resamples
+    rectangular-domain fields to square before the model and back after
+    (active only when lx != ly, as in the reference); adaptive
+    normalization blends training stats with input stats.
+
+    `model` is an SRModel (trained) or BicubicSR (fallback); `stats` may be
+    passed directly instead of `stats_file`.
+    """
+    if stats is None:
+        if stats_file is None:
+            raise ValueError("need stats_file or stats")
+        stats = read_stats_file(stats_file)
+    stats_lr = component_stats(stats, lr_dim)
+    stats_hr = component_stats(stats, hr_dim)
+    if model is None:
+        model = BicubicSR(lr_dim, hr_dim)
+
+    aspect = bool(use_aspect_ratio_correction and (lx != ly))
+    src = np.stack([np.asarray(coarse_fields[c], np.float32) for c in COMPONENTS])
+    if out_shape is None:
+        out_shape = (hr_dim, hr_dim)
+
+    if verbose:
+        print(f"ML Super-Resolution ({lr_dim}x{lr_dim} -> {hr_dim}x{hr_dim})"
+              f" | aspect_correction={'ON' if aspect else 'OFF'}"
+              f" | adaptive_norm={'ON' if use_adaptive_normalization else 'OFF'}")
+
+    mean_lr = jnp.asarray([stats_lr[c][0] for c in COMPONENTS], jnp.float32)
+    std_lr = jnp.asarray([stats_lr[c][1] for c in COMPONENTS], jnp.float32)
+    mean_hr = jnp.asarray([stats_hr[c][0] for c in COMPONENTS], jnp.float32)
+    std_hr = jnp.asarray([stats_hr[c][1] for c in COMPONENTS], jnp.float32)
+
+    core = partial(
+        _sr_core,
+        predict_fn=model.predict,
+        lr_dim=lr_dim,
+        hr_dim=hr_dim,
+        out_shape=tuple(out_shape),
+        aspect_correct=aspect,
+        blend_factor=blend_factor,
+        adaptive=use_adaptive_normalization,
+    )
+    pred = jax.jit(core)(jnp.asarray(src), mean_lr, std_lr, mean_hr, std_hr)
+    pred = np.asarray(pred)
+
+    hr_fields = {c: pred[i] for i, c in enumerate(COMPONENTS)}
+    if verbose:
+        for c in COMPONENTS:
+            print(f"  {c.upper()}: {coarse_fields[c].shape} -> "
+                  f"{hr_fields[c].shape}, range [{hr_fields[c].min():.6f}, "
+                  f"{hr_fields[c].max():.6f}]")
+    return hr_fields

@@ -1,0 +1,93 @@
+"""SR inference + hybrid workflow integration tests (small grids)."""
+
+import numpy as np
+import pytest
+
+from sr_for_cfd_tpu.models import standardize as stz
+from sr_for_cfd_tpu.sr.inference import BicubicSR, SRModel, ml_super_resolution
+
+
+def _make_stats(lr, hr):
+    stats = {}
+    for comp in ("u", "v", "p"):
+        for dim in (lr, hr):
+            stats[f"mean{dim}_{comp}"] = 0.1
+            stats[f"std{dim}_{comp}"] = 0.5
+    return stats
+
+
+def test_ml_super_resolution_shapes(rng):
+    coarse = {c: rng.standard_normal((10, 10)).astype(np.float32) for c in "uvp"}
+    hr = ml_super_resolution(
+        coarse, 10, 20, stats=_make_stats(10, 20), model=BicubicSR(10, 20),
+        verbose=False,
+    )
+    for c in "uvp":
+        assert hr[c].shape == (20, 20)
+        assert np.all(np.isfinite(hr[c]))
+
+
+def test_ml_super_resolution_untrained_model(rng):
+    """An untrained SRModel still produces finite fields of the right shape
+    (NaN scrub guarantees solver-safe output)."""
+    coarse = {c: rng.standard_normal((10, 10)).astype(np.float32) for c in "uvp"}
+    model = SRModel.create(10, 20)
+    hr = ml_super_resolution(
+        coarse, 10, 20, stats=_make_stats(10, 20), model=model, verbose=False
+    )
+    for c in "uvp":
+        assert hr[c].shape == (20, 20)
+        assert np.all(np.isfinite(hr[c]))
+
+
+def test_aspect_ratio_and_adaptive_norm(rng):
+    """BFS-style options: rect->square resample around the model + stat
+    blending (`bfs_ml_accelerated.py:979-1137`)."""
+    coarse = {c: rng.standard_normal((10, 10)).astype(np.float32) for c in "uvp"}
+    hr = ml_super_resolution(
+        coarse, 10, 20, stats=_make_stats(10, 20), model=BicubicSR(10, 20),
+        use_aspect_ratio_correction=True, lx=10.0, ly=3.0,
+        use_adaptive_normalization=True, blend_factor=0.3,
+        out_shape=(20, 20), verbose=False,
+    )
+    for c in "uvp":
+        assert hr[c].shape == (20, 20)
+        assert np.all(np.isfinite(hr[c]))
+
+
+def test_bicubic_identity_stats(rng):
+    """With identity stats (mean 0 / std 1) the bicubic fallback preserves a
+    constant field exactly."""
+    stats = {f"{k}{d}_{c}": (0.0 if k == "mean" else 1.0)
+             for k in ("mean", "std") for d in (10, 20) for c in "uvp"}
+    coarse = {c: np.full((10, 10), 0.7, np.float32) for c in "uvp"}
+    hr = ml_super_resolution(
+        coarse, 10, 20, stats=stats, model=BicubicSR(10, 20), verbose=False
+    )
+    np.testing.assert_allclose(hr["u"], 0.7, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_hybrid_experiment_end_to_end(tmp_path, rng):
+    """Full hybrid driver on tiny grids with the bicubic fallback: the
+    warm-started fine solve must converge in fewer iterations than the
+    cold start, and centerlines must agree."""
+    from sr_for_cfd_tpu.workflow.hybrid import run_hybrid_experiment
+
+    stats_path = str(tmp_path / "stats.txt")
+    # physically-plausible stats
+    stz.write_stats_file(stats_path, {
+        "mean10_u": 0.0, "std10_u": 0.23, "mean10_v": 0.0, "std10_v": 0.15,
+        "mean10_p": -0.02, "std10_p": 0.06,
+        "mean24_u": 0.0, "std24_u": 0.28, "mean24_v": 0.0, "std24_v": 0.18,
+        "mean24_p": -0.02, "std24_p": 0.075,
+    })
+    results = run_hybrid_experiment(
+        Re=100, lr_dim=10, hr_dim=24, dt=2e-3, scheme="UPWIND",
+        max_iterations_ml=20000, max_iterations_normal=20000,
+        stats_file=stats_path, output_dir=str(tmp_path / "run"),
+        verbose=False, save_results=False, dtype="float64", chunk_size=1000,
+    )
+    assert results["ml_iterations"] < results["normal_iterations"]
+    assert results["centerline_diff"]["U"]["max"] < 1e-4
+    assert results["centerline_diff"]["V"]["max"] < 1e-4
