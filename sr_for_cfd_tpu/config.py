@@ -195,6 +195,11 @@ class SolverSettings:
     inner_tolerance: float = 1e-6
     inner_max_iter: int = 1000
     inner_scheme: str = "redblack"  # 'redblack' | 'jacobi'
+    # Exit-check cadence: evaluate the inner-loop RMS reduction every K
+    # sweeps (extra sweeps only tighten the solve; big TPU win on the
+    # pressure-Poisson loop which dominates runtime).
+    momentum_check_every: int = 1
+    pressure_check_every: int = 8
     # TPU production runs in float32; float64 is the CPU validation mode.
     dtype: str = "float32"
     # Host round-trip cadence for logging / convergence checks.

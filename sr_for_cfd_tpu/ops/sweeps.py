@@ -98,11 +98,19 @@ def sweep_loop(
     tol: float,
     max_iter: int,
     inner_scheme: str = "redblack",
+    check_every: int = 1,
 ) -> jnp.ndarray:
     """Iterate point sweeps until RMS(R) < tol or `max_iter` sweeps.
 
     Returns the updated padded field. The early exit mirrors the reference's
     hard-coded 1e-6 / 1000 inner loop (`LDV PyCFD given by sir.py:519-537`).
+
+    `check_every > 1` evaluates the exit reduction only every K sweeps (the
+    loop runs K sweeps per while iteration), trading up to K-1 extra sweeps
+    for K-fold fewer scalar reductions/branches - a large win on TPU where
+    per-iteration while_loop overhead rivals the sweep's VPU cost. Extra
+    sweeps past the tolerance only sharpen the solve, so converged outer
+    solutions are unaffected.
     """
     n_cells = nx * ny
     dtype = phi.dtype
@@ -110,24 +118,31 @@ def sweep_loop(
 
     if inner_scheme == "jacobi":
 
-        def body(carry):
-            f, _, it = carry
+        def sweep(f, with_rms):
             r, ap = residual_fn(f)
             f = f.at[1:-1, 1:-1].add(r / ap)
-            rms = jnp.sqrt(jnp.sum(r * r) / n_cells)
-            return f, rms, it + 1
+            rms = jnp.sqrt(jnp.sum(r * r) / n_cells) if with_rms else None
+            return f, rms
 
     else:  # red-black Gauss-Seidel
 
-        def body(carry):
-            f, _, it = carry
+        def sweep(f, with_rms):
             r1, ap1 = residual_fn(f)
             f = f.at[1:-1, 1:-1].add(jnp.where(red, r1 / ap1, 0.0))
             r2, ap2 = residual_fn(f)
             f = f.at[1:-1, 1:-1].add(jnp.where(red, 0.0, r2 / ap2))
-            ss = jnp.sum(jnp.where(red, r1 * r1, r2 * r2))
-            rms = jnp.sqrt(ss / n_cells)
-            return f, rms, it + 1
+            rms = None
+            if with_rms:
+                ss = jnp.sum(jnp.where(red, r1 * r1, r2 * r2))
+                rms = jnp.sqrt(ss / n_cells)
+            return f, rms
+
+    def body(carry):
+        f, _, it = carry
+        for _ in range(check_every - 1):
+            f, _ = sweep(f, with_rms=False)
+        f, rms = sweep(f, with_rms=True)
+        return f, rms, it + check_every
 
     def cond(carry):
         _, rms, it = carry
@@ -152,6 +167,7 @@ def solve_momentum(
     tol: float = 1e-6,
     max_iter: int = 1000,
     inner_scheme: str = "redblack",
+    check_every: int = 1,
 ) -> jnp.ndarray:
     """Implicit momentum solve for one velocity component
     (reference `solve_momentum_quick` / `solve_momentum_upwind`,
@@ -168,7 +184,7 @@ def solve_momentum(
         nu=nu,
         volp=volp,
     )
-    return sweep_loop(phi, fn, nx, ny, tol, max_iter, inner_scheme)
+    return sweep_loop(phi, fn, nx, ny, tol, max_iter, inner_scheme, check_every)
 
 
 def solve_pressure(
@@ -183,6 +199,7 @@ def solve_pressure(
     tol: float = 1e-6,
     max_iter: int = 1000,
     inner_scheme: str = "redblack",
+    check_every: int = 1,
 ) -> jnp.ndarray:
     """Pressure-Poisson solve (reference `solve_pressure`,
     `LDV PyCFD given by sir.py:561-583`). The RHS (face-flux divergence) is
@@ -193,4 +210,4 @@ def solve_pressure(
         pressure_residual, div_sum=div_sum, dx=dx, dy=dy, dt=dt, rho=rho,
         volp=volp,
     )
-    return sweep_loop(p, fn, nx, ny, tol, max_iter, inner_scheme)
+    return sweep_loop(p, fn, nx, ny, tol, max_iter, inner_scheme, check_every)

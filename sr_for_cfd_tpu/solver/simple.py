@@ -46,7 +46,10 @@ from .state import SolverState, init_state, inlet_profile, warm_start_state
 
 
 def simple_step(
-    state: SolverState, case: CaseConfig, profile: Optional[BFSInletProfile]
+    state: SolverState,
+    case: CaseConfig,
+    profile: Optional[BFSInletProfile],
+    nu=None,
 ) -> SolverState:
     """One SIMPLE outer iteration (reference `_implicit_solve` +
     `_convergence_check`, `LDV PyCFD given by sir.py:171-232`;
@@ -56,13 +59,19 @@ def simple_step(
       -> face fluxes -> pressure-Poisson -> under-relax -> BC
       -> velocity projection (+ residuals) -> u, v BCs -> Rhie-Chow flux fix
       -> RMS convergence check (rms = sqrt(sum dVar^2 / (nx ny)) / dt)
+
+    `nu` optionally overrides the case viscosity with a traced scalar so
+    the step can be vmapped over Reynolds numbers (data-generation sweep).
     """
     mesh, fluid, st = case.mesh, case.fluid, case.settings
+    if nu is None:
+        nu = fluid.nu
     dx, dy, volp, dt = mesh.dx, mesh.dy, mesh.volp, st.dt
     sweep_kw = dict(
         tol=st.inner_tolerance,
         max_iter=st.inner_max_iter,
         inner_scheme=st.inner_scheme,
+        check_every=st.momentum_check_every,
     )
 
     u, v, p = state.u, state.v, state.p
@@ -70,23 +79,37 @@ def simple_step(
     # -- momentum ------------------------------------------------------
     u = solve_momentum(
         u, state.u_old, state.ff, scheme=st.scheme, dx=dx, dy=dy, dt=dt,
-        nu=fluid.nu, volp=volp, **sweep_kw,
+        nu=nu, volp=volp, **sweep_kw,
     )
     u = under_relax(u, state.u_old, st.relax("u"))
     u = apply_bfs_inlet(apply_bc(u, case.u_bc), 0, profile)
 
     v = solve_momentum(
         v, state.v_old, state.ff, scheme=st.scheme, dx=dx, dy=dy, dt=dt,
-        nu=fluid.nu, volp=volp, **sweep_kw,
+        nu=nu, volp=volp, **sweep_kw,
     )
     v = under_relax(v, state.v_old, st.relax("v"))
     v = apply_bfs_inlet(apply_bc(v, case.v_bc), 1, profile)
 
     # -- pressure ------------------------------------------------------
     ff = face_fluxes(u, v, dx, dy)
-    p = solve_pressure(
-        p, ff, dx=dx, dy=dy, dt=dt, rho=fluid.rho, volp=volp, **sweep_kw
-    )
+    if st.use_pallas and p.dtype == jnp.float32:
+        # fused single-launch VMEM-resident kernel (~12x faster per sweep
+        # than the XLA while_loop lowering; see ops/pallas_kernels.py)
+        from ..ops.pallas_kernels import pallas_solve_pressure
+
+        p = pallas_solve_pressure(
+            p, ff, dx=dx, dy=dy, dt=dt, rho=fluid.rho, volp=volp,
+            tol=st.inner_tolerance, max_iter=st.inner_max_iter,
+            check_every=st.pressure_check_every,
+            interpret=jax.default_backend() != "tpu",
+        )
+    else:
+        p = solve_pressure(
+            p, ff, dx=dx, dy=dy, dt=dt, rho=fluid.rho, volp=volp,
+            tol=st.inner_tolerance, max_iter=st.inner_max_iter,
+            inner_scheme=st.inner_scheme, check_every=st.pressure_check_every,
+        )
     p = under_relax(p, state.p_old, st.relax("p"))
     p = apply_bc(p, case.p_bc)
 
@@ -160,6 +183,13 @@ def run_chunk(
     return state
 
 
+# Module-level jitted entry point: the compilation cache is keyed on the
+# (hashable) CaseConfig + n_steps, so every CFDSolver instance with the same
+# case shape/settings shares one compiled executable (a per-instance
+# jit(partial(...)) would recompile per instance).
+jitted_run_chunk = jax.jit(run_chunk, static_argnames=("case", "n_steps"))
+
+
 def run_to_convergence(
     state: SolverState, profile: Optional[BFSInletProfile], case: CaseConfig
 ) -> SolverState:
@@ -222,12 +252,10 @@ class CFDSolver:
         self.profile = inlet_profile(self.case)
         self.state = init_state(self.case)
         self.residual_history = ResidualHistory()
-        self._chunk_fn = jax.jit(
-            partial(
-                run_chunk,
-                case=self.case,
-                n_steps=self.case.settings.chunk_size,
-            )
+        self._chunk_fn = partial(
+            jitted_run_chunk,
+            case=self.case,
+            n_steps=self.case.settings.chunk_size,
         )
         # results saver injected lazily to keep solver free of IO deps
         self._saver: Optional[Callable] = None

@@ -1,0 +1,196 @@
+"""Data-generation sweep: cavity solves over Re x mesh-size -> HDF5.
+
+The reference runs the sweep strictly sequentially (hours of wall-clock,
+`sr-simulation-data-creation.ipynb` cell 2 main loop); each (Re, mesh) case
+is independent, so here the Reynolds axis is **vmapped** into one batched
+on-device solve per mesh size, and the batch axis can be sharded across the
+device mesh (one case per device) - the TPU-native replacement identified
+in SURVEY.md sections 3.4 / 5.8. A sequential host-loop mode with per-case
+error isolation (the reference's try/except behavior) is also provided.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+from typing import Dict, Iterable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import BoundaryConditions, CaseConfig
+from ..io.hdf5 import save_fields_hdf5
+from ..parallel.mesh import batch_sharding, make_mesh
+from ..solver.cases import make_cavity_solver
+from ..solver.simple import simple_step
+from ..solver.state import init_state, inlet_profile
+from ..utils.naming import fmt_re
+
+DEFAULT_REYNOLDS = tuple(range(100, 801, 100))
+DEFAULT_MESH_SIZES = (10, 50, 400)
+
+
+def batched_cavity_solve(
+    reynolds: Sequence[float],
+    nx: int,
+    ny: int,
+    dt: float = 1e-3,
+    scheme: str = "QUICK",
+    double_lid: bool = True,
+    max_iterations: int = 100000,
+    mesh_devices=None,
+    verbose: bool = True,
+    chunk_size: int = 1000,
+    **settings_kw,
+) -> Tuple[Dict[float, Dict[str, np.ndarray]], np.ndarray]:
+    """Solve one cavity mesh size for all Reynolds numbers simultaneously.
+
+    vmaps the SIMPLE step over a batched SolverState with per-case nu =
+    1/Re; converged cases are frozen by masking (a vmapped while_loop would
+    otherwise keep updating them). With `mesh_devices` (a jax Mesh), the
+    case axis is sharded across devices.
+
+    Returns ({Re: {u, v, p} interior (ny, nx) fields}, iterations[n]).
+    """
+    res = np.asarray(list(reynolds), dtype=np.float64)
+    n = len(res)
+    solver = make_cavity_solver(
+        Re=float(res[0]), nx=nx, ny=ny, dt=dt, scheme=scheme,
+        double_lid=double_lid, max_iterations=max_iterations, **settings_kw,
+    )
+    case = solver.case
+    profile = inlet_profile(case)
+    state0 = init_state(case)
+    dtype = state0.u.dtype
+    states = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (n,) + x.shape).copy(), state0
+    )
+    nus = jnp.asarray(1.0 / res, dtype=dtype)
+
+    step = jax.vmap(
+        lambda s, nu: simple_step(s, case, profile, nu), in_axes=(0, 0)
+    )
+
+    def active_mask(s):
+        return jnp.logical_and(
+            jnp.logical_and(~s.converged, ~s.diverged),
+            s.count < max_iterations,
+        )
+
+    def masked_step(states):
+        active = active_mask(states)
+        new = step(states, nus)
+
+        def sel(old, new_):
+            mask = active.reshape((n,) + (1,) * (new_.ndim - 1))
+            return jnp.where(mask, new_, old)
+
+        return jax.tree_util.tree_map(sel, states, new)
+
+    def chunk(states):
+        def body(carry):
+            s, i = carry
+            return masked_step(s), i + 1
+
+        def cond(carry):
+            s, i = carry
+            return jnp.logical_and(i < chunk_size, jnp.any(active_mask(s)))
+
+        states, _ = jax.lax.while_loop(
+            cond, body, (states, jnp.asarray(0, jnp.int32))
+        )
+        return states
+
+    chunk_fn = jax.jit(chunk)
+    if mesh_devices is not None:
+        sharding = batch_sharding(mesh_devices)
+        states = jax.device_put(states, sharding)
+
+    while True:
+        states = chunk_fn(states)
+        active = np.asarray(
+            ~(np.asarray(states.converged) | np.asarray(states.diverged))
+            & (np.asarray(states.count) < max_iterations)
+        )
+        if verbose:
+            counts = np.asarray(states.count)
+            print(f"  sweep {nx}x{ny}: iters {counts.min()}..{counts.max()}, "
+                  f"{active.sum()}/{n} active")
+        if not active.any():
+            break
+
+    u = np.asarray(states.u)
+    v = np.asarray(states.v)
+    p = np.asarray(states.p)
+    fields = {
+        float(re_val): {
+            "u": u[i, 1:-1, 1:-1].T.copy(),
+            "v": v[i, 1:-1, 1:-1].T.copy(),
+            "p": p[i, 1:-1, 1:-1].T.copy(),
+        }
+        for i, re_val in enumerate(res)
+    }
+    return fields, np.asarray(states.count)
+
+
+def generate_training_data(
+    reynolds_numbers: Iterable[float] = DEFAULT_REYNOLDS,
+    mesh_sizes: Iterable[int] = DEFAULT_MESH_SIZES,
+    output_dir: str = "results",
+    double_lid: bool = True,
+    dt: float = 1e-3,
+    scheme: str = "QUICK",
+    combined_name: Optional[str] = None,
+    use_device_mesh: bool = False,
+    verbose: bool = True,
+    **kw,
+) -> str:
+    """Full sweep -> per-Re HDF5 files + one combined file (the reference's
+    `results/simulation_result_double_lid.h5` layout, data notebook cell 2).
+    Returns the combined file path. Per-mesh-size batches are isolated so
+    one diverging size doesn't kill the sweep (reference wraps each case in
+    try/except)."""
+    os.makedirs(output_dir, exist_ok=True)
+    bc_label = (
+        "double_lid(u_top=1,u_bottom=1)" if double_lid else "lid_driven_cavity"
+    )
+    case_name = (
+        "double lid driven cavity" if double_lid else "lid driven cavity"
+    )
+    if combined_name is None:
+        combined_name = (
+            "simulation_result_double_lid.h5" if double_lid
+            else "simulation_result_single_lid.h5"
+        )
+    combined_path = os.path.join(output_dir, combined_name)
+    mesh_devices = make_mesh() if use_device_mesh else None
+
+    res_list = list(reynolds_numbers)
+    for size in mesh_sizes:
+        try:
+            fields, iters = batched_cavity_solve(
+                res_list, size, size, dt=dt, scheme=scheme,
+                double_lid=double_lid, mesh_devices=mesh_devices,
+                verbose=verbose, **kw,
+            )
+        except Exception as e:  # per-size error isolation
+            print(f"  sweep error for mesh {size}x{size}: {e}")
+            continue
+        from ..config import MeshParameters
+
+        mesh = MeshParameters(nx=size, ny=size, lx=1.0, ly=1.0)
+        for re_val, f in fields.items():
+            re_dir = os.path.join(output_dir, f"Re{fmt_re(re_val)}")
+            per_case = os.path.join(
+                re_dir, f"cavity_Re{fmt_re(re_val)}_mesh{size}x{size}.h5"
+            )
+            for path in (per_case, combined_path):
+                save_fields_hdf5(
+                    path, f, mesh, re_val, case_name=case_name,
+                    bc_type=bc_label,
+                )
+        if verbose:
+            print(f"  mesh {size}x{size}: saved {len(fields)} cases "
+                  f"(iterations {iters.min()}..{iters.max()})")
+    return combined_path

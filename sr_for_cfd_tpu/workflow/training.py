@@ -1,0 +1,263 @@
+"""SR autoencoder training pipeline (optax + data-parallel sharding).
+
+Rebuilds the reference's training notebook (sr-ae-conv.ipynb cell 0):
+custom MSE train step (Keras `train_step` equivalent), Adam with the Keras
+default LR 1e-3, 500 epochs, batch 8, component-specific standardization
+computed on the train split, per-BC Reynolds train/test/evaluate config,
+and MAE/NMAE evaluation in physical units. The reference trained on 2xT4
+with no distribution strategy; here the batch axis shards across the device
+mesh and XLA all-reduces gradients (DP), the TPU-native replacement
+(SURVEY.md section 5.8).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Dict, Iterable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh
+
+from ..models import standardize as stz
+from ..models.autoencoder import LATENT_DIM, SuperResolutionAE
+from ..parallel.mesh import batch_sharding, make_mesh, replicated
+
+# Reference training config (sr-ae-conv.ipynb: EPOCHS=500, BATCH_SIZE=8,
+# LATENT_DIM=50, Adam default LR).
+DEFAULT_EPOCHS = 500
+DEFAULT_BATCH_SIZE = 8
+DEFAULT_LR = 1e-3
+
+# Actual run's per-BC Reynolds split (sr-ae-conv.ipynb cell 0): both BC
+# types hold out Re=800 for test/evaluate.
+DEFAULT_REYNOLDS_CONFIG = {
+    "lid_driven_cavity": {"train": "ALL_EXCEPT_TEST", "test": [800], "evaluate": [800]},
+    "double_lid(u_top=1,u_bottom=1)": {"train": "ALL_EXCEPT_TEST", "test": [800], "evaluate": [800]},
+}
+
+
+def mse_loss(params, model: SuperResolutionAE, x_lr, x_hr):
+    pred = model.apply(params, x_lr)
+    return jnp.mean((pred - x_hr) ** 2)
+
+
+@partial(jax.jit, static_argnames=("model", "tx"))
+def train_step(params, opt_state, x_lr, x_hr, model: SuperResolutionAE, tx):
+    loss, grads = jax.value_and_grad(mse_loss)(params, model, x_lr, x_hr)
+    updates, opt_state = tx.update(grads, opt_state, params)
+    params = optax.apply_updates(params, updates)
+    return params, opt_state, loss
+
+
+@dataclass
+class TrainResult:
+    params: Dict
+    model: SuperResolutionAE
+    loss_history: List[float] = field(default_factory=list)
+    stats: Dict[str, float] = field(default_factory=dict)
+    seconds: float = 0.0
+
+
+def split_by_reynolds_config(
+    res: np.ndarray, bc_types: np.ndarray,
+    reynolds_config: Optional[Dict] = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """(train_mask, test_mask) per sample from the per-BC config
+    (sr-ae-conv.ipynb cell 0 'user control panel'). 'ALL' trains on every
+    Re of that BC; 'ALL_EXCEPT_TEST' excludes the test list; otherwise an
+    explicit Re list."""
+    if reynolds_config is None:
+        reynolds_config = DEFAULT_REYNOLDS_CONFIG
+    train = np.zeros(len(res), dtype=bool)
+    test = np.zeros(len(res), dtype=bool)
+    for bc in np.unique(bc_types):
+        cfg = reynolds_config.get(str(bc))
+        bc_mask = bc_types == bc
+        if cfg is None:
+            train |= bc_mask  # unknown BC: train on everything
+            continue
+        test_res = set(cfg.get("test", []))
+        spec = cfg.get("train", "ALL")
+        if spec == "ALL":
+            train |= bc_mask
+        elif spec == "ALL_EXCEPT_TEST":
+            train |= bc_mask & ~np.isin(res, list(test_res))
+        else:
+            train |= bc_mask & np.isin(res, list(spec))
+        test |= bc_mask & np.isin(res, list(test_res))
+    return train, test
+
+
+def standardize_train_test(
+    x_lr, x_hr, comps, train_mask, lr_dim: int, hr_dim: int
+) -> Tuple[np.ndarray, np.ndarray, Dict[str, float]]:
+    """Component-specific standardization fitted on the train split and
+    applied everywhere (sr-ae-conv.ipynb cell 0). Returns standardized
+    (x_lr, x_hr) and the stats dict in the reference's key convention."""
+    stats: Dict[str, float] = {}
+    stats.update(stz.compute_component_stats(x_lr[train_mask, ..., 0], comps[train_mask], lr_dim))
+    stats.update(stz.compute_component_stats(x_hr[train_mask, ..., 0], comps[train_mask], hr_dim))
+    x_lr = x_lr.copy()
+    x_hr = x_hr.copy()
+    for comp in stz.COMPONENTS:
+        m = comps == comp
+        if not m.any():
+            continue
+        mean_lr, std_lr = stats[f"mean{lr_dim}_{comp}"], stats[f"std{lr_dim}_{comp}"]
+        mean_hr, std_hr = stats[f"mean{hr_dim}_{comp}"], stats[f"std{hr_dim}_{comp}"]
+        x_lr[m] = stz.standardize_with_stats(x_lr[m], mean_lr, std_lr)
+        x_hr[m] = stz.standardize_with_stats(x_hr[m], mean_hr, std_hr)
+    return x_lr, x_hr, stats
+
+
+def train_sr_autoencoder(
+    x_lr: np.ndarray,  # (N, lr, lr, 1) standardized
+    x_hr: np.ndarray,  # (N, hr, hr, 1) standardized
+    lr_dim: int,
+    hr_dim: int,
+    epochs: int = DEFAULT_EPOCHS,
+    batch_size: int = DEFAULT_BATCH_SIZE,
+    learning_rate: float = DEFAULT_LR,
+    latent_dim: int = LATENT_DIM,
+    seed: int = 0,
+    mesh: Optional[Mesh] = None,
+    verbose: bool = True,
+    log_every: int = 50,
+) -> TrainResult:
+    """Train the SuperResolutionAE with shuffled mini-batches and MSE.
+
+    With a mesh, batches are sharded over 'dp' and params replicated; XLA
+    inserts the gradient all-reduce. Batches are padded to a multiple of
+    batch_size x n_devices with wrap-around samples so every step has a
+    static shape (no recompiles).
+    """
+    model = SuperResolutionAE(lr_dim, hr_dim, latent_dim)
+    rng = np.random.default_rng(seed)
+    params = model.init(
+        jax.random.key(seed), jnp.zeros((1, lr_dim, lr_dim, 1), jnp.float32)
+    )
+    tx = optax.adam(learning_rate)
+    opt_state = tx.init(params)
+
+    if mesh is not None:
+        bsh = batch_sharding(mesh)
+        rep = replicated(mesh)
+        params = jax.device_put(params, rep)
+        opt_state = jax.device_put(opt_state, rep)
+        # round batch up to a multiple of the mesh size
+        n_dev = mesh.devices.size
+        batch_size = max(batch_size, n_dev) // n_dev * n_dev
+
+    n = x_lr.shape[0]
+    steps = max(1, n // batch_size)
+    step_fn = partial(train_step, model=model, tx=tx)
+
+    t0 = time.time()
+    history = []
+    for epoch in range(epochs):
+        perm = rng.permutation(n)
+        epoch_loss = 0.0
+        for s in range(steps):
+            idx = perm[(s * batch_size) % n : (s * batch_size) % n + batch_size]
+            if len(idx) < batch_size:  # wrap-around to keep shapes static
+                idx = np.concatenate([idx, perm[: batch_size - len(idx)]])
+            bx = jnp.asarray(x_lr[idx])
+            by = jnp.asarray(x_hr[idx])
+            if mesh is not None:
+                bx = jax.device_put(bx, bsh)
+                by = jax.device_put(by, bsh)
+            params, opt_state, loss = step_fn(params, opt_state, bx, by)
+            epoch_loss += float(loss)
+        history.append(epoch_loss / steps)
+        if verbose and (epoch + 1) % log_every == 0:
+            print(f"  epoch {epoch + 1}/{epochs} recon_loss={history[-1]:.6f}")
+    return TrainResult(
+        params=params, model=model, loss_history=history,
+        seconds=time.time() - t0,
+    )
+
+
+def evaluate_for_re(
+    re: float,
+    model: SuperResolutionAE,
+    params,
+    x_lr_test: np.ndarray,
+    x_hr_test: np.ndarray,
+    res_test: np.ndarray,
+    comps_test: np.ndarray,
+    stats: Dict[str, float],
+    lr_dim: int,
+    hr_dim: int,
+    plot_dir: Optional[str] = None,
+    verbose: bool = True,
+) -> Dict:
+    """Per-sample MAE and NMAE% in physical units after inverse
+    standardization (reference `evaluate_for_re`, sr-ae-conv.ipynb cell 0).
+    NMAE% = MAE / (data range) x 100."""
+    idx = np.where(res_test == re)[0]
+    results = []
+    for i in idx:
+        comp = str(comps_test[i])
+        mean_lr, std_lr = stats[f"mean{lr_dim}_{comp}"], stats[f"std{lr_dim}_{comp}"]
+        mean_hr, std_hr = stats[f"mean{hr_dim}_{comp}"], stats[f"std{hr_dim}_{comp}"]
+        pred_norm = np.asarray(model.apply(params, jnp.asarray(x_lr_test[i : i + 1])))[0, ..., 0]
+        pred = stz.inverse_standardize(pred_norm, mean_hr, std_hr)
+        truth = stz.inverse_standardize(x_hr_test[i, ..., 0], mean_hr, std_hr)
+        lr_truth = stz.inverse_standardize(x_lr_test[i, ..., 0], mean_lr, std_lr)
+        mae = float(np.mean(np.abs(truth - pred)))
+        rng_ = float(truth.max() - truth.min())
+        nmae = mae / rng_ * 100 if rng_ > 0 else float("inf")
+        results.append({"component": comp, "mae": mae, "nmae_pct": nmae})
+        if verbose:
+            print(f"  Re={re} {comp.upper()}: MAE={mae:.4f} NMAE={nmae:.2f}%")
+        if plot_dir:
+            from ..viz.plots import plot_superres_comparison
+
+            plot_superres_comparison(
+                lr_truth, truth, pred, re, comp,
+                (lr_dim, lr_dim), (hr_dim, hr_dim), mae, nmae,
+                filename=f"{plot_dir}/sr_Re{re}_{comp}.png",
+            )
+    if results:
+        avg_mae = float(np.mean([r["mae"] for r in results]))
+        avg_nmae = float(np.mean([r["nmae_pct"] for r in results]))
+    else:
+        avg_mae = avg_nmae = float("nan")
+    if verbose:
+        print(f"  Average MAE: {avg_mae:.4f} | Average NMAE: {avg_nmae:.2f}%")
+    return {"per_sample": results, "avg_mae": avg_mae, "avg_nmae_pct": avg_nmae}
+
+
+def export_models(
+    result: TrainResult,
+    stats: Dict[str, float],
+    lr_dim: int,
+    hr_dim: int,
+    suffix: str,
+    out_dir: str = ".",
+) -> Dict[str, str]:
+    """Save encoder / decoder / combined checkpoints + stats .txt with the
+    reference's artifact naming (sr-ae-conv.ipynb export cell), using
+    .msgpack for the Flax weights."""
+    import os
+
+    from ..io.checkpoint import save_params
+
+    os.makedirs(out_dir, exist_ok=True)
+    params = result.params["params"]
+    paths = {
+        "encoder": os.path.join(out_dir, f"vanilla_encoder{lr_dim}_to_{hr_dim}_{suffix}.msgpack"),
+        "decoder": os.path.join(out_dir, f"vanilla_decoder{hr_dim}_from_{lr_dim}_{suffix}.msgpack"),
+        "combined": os.path.join(out_dir, f"vanilla_superres_{lr_dim}to{hr_dim}_{suffix}.msgpack"),
+        "stats": os.path.join(out_dir, f"standardization_stats_{lr_dim}to{hr_dim}_{suffix}.txt"),
+    }
+    save_params(paths["encoder"], {"params": params["encoder_lr"]})
+    save_params(paths["decoder"], {"params": params["decoder_hr"]})
+    save_params(paths["combined"], result.params)
+    stz.write_stats_file(paths["stats"], stats)
+    return paths

@@ -1,0 +1,32 @@
+"""Pallas fused pressure kernel vs the jnp red-black sweeps (interpret mode
+on CPU; the TPU path is exercised by bench.py and the use_pallas solver
+configs)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sr_for_cfd_tpu.ops.pallas_kernels import pallas_solve_pressure
+from sr_for_cfd_tpu.ops.stencil import face_fluxes
+from sr_for_cfd_tpu.ops.sweeps import solve_pressure
+
+
+@pytest.mark.parametrize("n", [16, 31])
+def test_pallas_pressure_matches_jnp(n, rng):
+    u = jnp.asarray(rng.standard_normal((n + 2, n + 2)) * 0.1, jnp.float32)
+    v = jnp.asarray(rng.standard_normal((n + 2, n + 2)) * 0.1, jnp.float32)
+    p0 = jnp.asarray(rng.standard_normal((n + 2, n + 2)) * 0.01, jnp.float32)
+    dx, dy = 1.0 / n, 1.3 / n
+    volp = dx * dy
+    ff = face_fluxes(u, v, dx, dy)
+    kw = dict(dx=dx, dy=dy, dt=1e-3, rho=1.0, volp=volp, tol=1e-12,
+              max_iter=40)
+    r_jnp = solve_pressure(
+        p0, ff, inner_scheme="redblack", check_every=8, **kw
+    )
+    r_pal = pallas_solve_pressure(p0, ff, check_every=8, interpret=True, **kw)
+    np.testing.assert_allclose(
+        np.asarray(r_pal), np.asarray(r_jnp), atol=5e-6
+    )
+    # ghosts must be untouched by the solve
+    np.testing.assert_array_equal(np.asarray(r_pal)[0, :], np.asarray(p0)[0, :])
