@@ -37,10 +37,12 @@ def main():
     )
 
     def build(n_iters):
+        # fused_step = entire SIMPLE outer iteration in one Pallas kernel;
+        # reference inner-loop semantics (1e-6 tol / 1000-sweep cap, no SOR)
         return make_cavity_solver(
             Re=RE, nx=NX, ny=NY, dt=DT, scheme="QUICK", dtype="float32",
             max_iterations=n_iters, chunk_size=n_iters,
-            use_pallas=pallas_on,
+            fused_step=pallas_on,
         )
 
     from sr_for_cfd_tpu.solver.state import init_state

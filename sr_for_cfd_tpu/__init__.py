@@ -13,6 +13,26 @@ fused Pallas outer-step kernels).
 
 __version__ = "0.1.0"
 
+# Persistent compilation cache: solver-step executables take minutes to
+# build via the remote TPU compiler; cache them across processes. Opt out
+# with SRCFD_COMPILATION_CACHE=0.
+import os as _os
+
+import jax as _jax
+
+if _os.environ.get("SRCFD_COMPILATION_CACHE", "1") == "1":
+    try:
+        _jax.config.update(
+            "jax_compilation_cache_dir",
+            _os.environ.get(
+                "JAX_COMPILATION_CACHE_DIR",
+                _os.path.expanduser("~/.cache/srcfd_jax_cache"),
+            ),
+        )
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
 from .config import (  # noqa: F401
     BFSGeometry,
     BoundaryCondition,

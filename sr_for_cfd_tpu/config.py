@@ -200,12 +200,19 @@ class SolverSettings:
     # pressure-Poisson loop which dominates runtime).
     momentum_check_every: int = 1
     pressure_check_every: int = 8
+    # Successive over-relaxation factor for the pressure-Poisson sweeps
+    # (1.0 = plain red-black GS, reference semantics; ~1.9 converges the
+    # Poisson solve an order of magnitude faster - same fixed point).
+    pressure_sor: float = 1.0
     # TPU production runs in float32; float64 is the CPU validation mode.
     dtype: str = "float32"
     # Host round-trip cadence for logging / convergence checks.
     chunk_size: int = 100
-    # Use the fused Pallas outer-step kernel on TPU when available.
+    # Pallas acceleration: use_pallas fuses the pressure inner loop into a
+    # single VMEM-resident kernel; fused_step fuses the ENTIRE outer SIMPLE
+    # iteration into one kernel (fastest; float32, single-device).
     use_pallas: bool = False
+    fused_step: bool = False
 
     def __post_init__(self):
         if self.scheme not in (QUICK, UPWIND):

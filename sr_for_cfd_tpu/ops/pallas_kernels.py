@@ -44,7 +44,8 @@ def _padded_masks(shape):
 
 
 def _pressure_kernel(
-    p_ref, b_ref, out_ref, *, dx, dy, volp, tol, max_iter, check_every
+    p_ref, b_ref, out_ref, *, dx, dy, volp, tol, max_iter, check_every,
+    sor=1.0,
 ):
     """Red-black Gauss-Seidel for volp*Laplacian(p) = b with frozen ghosts.
 
@@ -79,7 +80,7 @@ def _pressure_kernel(
 
     def half(f, mask):
         r = residual(f)
-        f = f + jnp.where(mask, r * inv_ap, 0.0)
+        f = f + jnp.where(mask, sor * r * inv_ap, 0.0)
         return f, r
 
     def sweep(f, with_rms):
@@ -113,7 +114,7 @@ def _pressure_kernel(
     jax.jit,
     static_argnames=(
         "dx", "dy", "dt", "rho", "volp", "tol", "max_iter", "check_every",
-        "interpret",
+        "sor", "interpret",
     ),
 )
 def pallas_solve_pressure(
@@ -128,6 +129,7 @@ def pallas_solve_pressure(
     tol: float = 1e-6,
     max_iter: int = 1000,
     check_every: int = 8,
+    sor: float = 1.0,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Drop-in replacement for `sweeps.solve_pressure` (f32, red-black)."""
@@ -136,7 +138,7 @@ def pallas_solve_pressure(
     kernel = functools.partial(
         _pressure_kernel,
         dx=dx, dy=dy, volp=volp, tol=tol, max_iter=max_iter,
-        check_every=check_every,
+        check_every=check_every, sor=sor,
     )
     return pl.pallas_call(
         kernel,

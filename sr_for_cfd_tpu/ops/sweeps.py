@@ -99,6 +99,7 @@ def sweep_loop(
     max_iter: int,
     inner_scheme: str = "redblack",
     check_every: int = 1,
+    sor: float = 1.0,
 ) -> jnp.ndarray:
     """Iterate point sweeps until RMS(R) < tol or `max_iter` sweeps.
 
@@ -120,7 +121,7 @@ def sweep_loop(
 
         def sweep(f, with_rms):
             r, ap = residual_fn(f)
-            f = f.at[1:-1, 1:-1].add(r / ap)
+            f = f.at[1:-1, 1:-1].add(sor * r / ap)
             rms = jnp.sqrt(jnp.sum(r * r) / n_cells) if with_rms else None
             return f, rms
 
@@ -128,9 +129,9 @@ def sweep_loop(
 
         def sweep(f, with_rms):
             r1, ap1 = residual_fn(f)
-            f = f.at[1:-1, 1:-1].add(jnp.where(red, r1 / ap1, 0.0))
+            f = f.at[1:-1, 1:-1].add(jnp.where(red, sor * r1 / ap1, 0.0))
             r2, ap2 = residual_fn(f)
-            f = f.at[1:-1, 1:-1].add(jnp.where(red, 0.0, r2 / ap2))
+            f = f.at[1:-1, 1:-1].add(jnp.where(red, 0.0, sor * r2 / ap2))
             rms = None
             if with_rms:
                 ss = jnp.sum(jnp.where(red, r1 * r1, r2 * r2))
@@ -200,6 +201,7 @@ def solve_pressure(
     max_iter: int = 1000,
     inner_scheme: str = "redblack",
     check_every: int = 1,
+    sor: float = 1.0,
 ) -> jnp.ndarray:
     """Pressure-Poisson solve (reference `solve_pressure`,
     `LDV PyCFD given by sir.py:561-583`). The RHS (face-flux divergence) is
@@ -210,4 +212,4 @@ def solve_pressure(
         pressure_residual, div_sum=div_sum, dx=dx, dy=dy, dt=dt, rho=rho,
         volp=volp,
     )
-    return sweep_loop(p, fn, nx, ny, tol, max_iter, inner_scheme, check_every)
+    return sweep_loop(p, fn, nx, ny, tol, max_iter, inner_scheme, check_every, sor)

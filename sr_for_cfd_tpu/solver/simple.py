@@ -64,6 +64,8 @@ def simple_step(
     the step can be vmapped over Reynolds numbers (data-generation sweep).
     """
     mesh, fluid, st = case.mesh, case.fluid, case.settings
+    if st.fused_step and state.u.dtype == jnp.float32 and nu is None:
+        return _fused_step(state, case, profile)
     if nu is None:
         nu = fluid.nu
     dx, dy, volp, dt = mesh.dx, mesh.dy, mesh.volp, st.dt
@@ -101,7 +103,7 @@ def simple_step(
         p = pallas_solve_pressure(
             p, ff, dx=dx, dy=dy, dt=dt, rho=fluid.rho, volp=volp,
             tol=st.inner_tolerance, max_iter=st.inner_max_iter,
-            check_every=st.pressure_check_every,
+            check_every=st.pressure_check_every, sor=st.pressure_sor,
             interpret=jax.default_backend() != "tpu",
         )
     else:
@@ -109,6 +111,7 @@ def simple_step(
             p, ff, dx=dx, dy=dy, dt=dt, rho=fluid.rho, volp=volp,
             tol=st.inner_tolerance, max_iter=st.inner_max_iter,
             inner_scheme=st.inner_scheme, check_every=st.pressure_check_every,
+            sor=st.pressure_sor,
         )
     p = under_relax(p, state.p_old, st.relax("p"))
     p = apply_bc(p, case.p_bc)
@@ -151,6 +154,34 @@ def simple_step(
         count=state.count + 1,
         converged=converged,
         diverged=diverged,
+    )
+
+
+def _fused_step(
+    state: SolverState, case: CaseConfig, profile: Optional[BFSInletProfile]
+) -> SolverState:
+    """Delegate the whole outer iteration to the single fused Pallas kernel
+    (ops/pallas_step.py); float32 / single-device only."""
+    from ..ops.pallas_step import pallas_simple_step
+
+    st = case.settings
+    u, v, p, ff, res = pallas_simple_step(
+        state.u, state.v, state.p, state.ff, case, profile,
+        interpret=jax.default_backend() != "tpu",
+    )
+    n_cells = case.mesh.nx * case.mesh.ny
+    rms = jnp.sqrt(res / n_cells) / st.dt
+    crit = jnp.asarray(
+        [st.criterion("u"), st.criterion("v"), st.criterion("p")],
+        dtype=rms.dtype,
+    )
+    return SolverState(
+        u=u, v=v, p=p,
+        u_old=u[1:-1, 1:-1], v_old=v[1:-1, 1:-1], p_old=p[1:-1, 1:-1],
+        ff=ff, rms=rms,
+        count=state.count + 1,
+        converged=jnp.all(rms <= crit),
+        diverged=jnp.logical_not(jnp.all(jnp.isfinite(rms))),
     )
 
 
