@@ -1,0 +1,231 @@
+"""Command-line interface.
+
+The reference has no CLI - configuration lives in `__main__` "user control
+panel" blocks (`bfs_ml_accelerated.py:1702-1766`, SURVEY.md section 5.6).
+This exposes the same experiments as subcommands with the reference's
+defaults:
+
+  srcfd cavity  - lid-driven cavity solve (single/double lid)
+  srcfd bfs     - backward-facing step solve
+  srcfd hybrid  - coarse -> SR -> warm-started fine vs normal (the product)
+  srcfd sweep   - Re x mesh data-generation sweep -> HDF5
+  srcfd train   - SR autoencoder training from sweep HDF5
+  srcfd bench   - solver throughput benchmark
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _solver_args(p: argparse.ArgumentParser, dt: float, scheme: str):
+    p.add_argument("--re", type=float, default=400)
+    p.add_argument("--nx", type=int, default=100)
+    p.add_argument("--ny", type=int, default=None)
+    p.add_argument("--dt", type=float, default=dt)
+    p.add_argument("--scheme", choices=["QUICK", "UPWIND"], default=scheme)
+    p.add_argument("--max-iterations", type=int, default=100000)
+    p.add_argument("--dtype", choices=["float32", "float64"], default="float32")
+    p.add_argument("--chunk-size", type=int, default=100)
+    p.add_argument("--fused", action="store_true",
+                   help="fused Pallas outer-step kernel (f32, TPU)")
+    p.add_argument("--sor", type=float, default=1.0,
+                   help="pressure SOR factor (1.0 = reference semantics)")
+    p.add_argument("--out", default=None, help="output base name / directory")
+    p.add_argument("--quiet", action="store_true")
+
+
+def _common_kw(args):
+    return dict(
+        dt=args.dt, scheme=args.scheme, max_iterations=args.max_iterations,
+        dtype=args.dtype, chunk_size=args.chunk_size,
+        fused_step=args.fused, pressure_sor=args.sor,
+    )
+
+
+def cmd_cavity(args):
+    from .solver.cases import create_lid_driven_cavity
+
+    ny = args.ny or args.nx
+    out = args.out or f"cavity_Re{int(args.re)}"
+    solver, iters, secs = create_lid_driven_cavity(
+        Re=args.re, nx=args.nx, ny=ny, output_name=out,
+        double_lid=args.double_lid, verbose=not args.quiet,
+        **_common_kw(args),
+    )
+    print(f"Converged in {iters} iterations ({secs:.2f} seconds)")
+
+
+def cmd_bfs(args):
+    from .solver.cases import create_bfs_case
+
+    ny = args.ny or args.nx
+    out = args.out or f"bfs_Re{int(args.re)}"
+    solver, iters, secs = create_bfs_case(
+        Re=args.re, nx=args.nx, ny=ny, output_name=out,
+        verbose=not args.quiet, **_common_kw(args),
+    )
+    print(f"Converged in {iters} iterations ({secs:.2f} seconds)")
+
+
+def cmd_hybrid(args):
+    from .workflow.hybrid import run_hybrid_experiment
+
+    results = run_hybrid_experiment(
+        Re=args.re, lr_dim=args.lr_dim, hr_dim=args.hr_dim,
+        case=args.case,
+        max_iterations_coarse=args.max_iterations,
+        max_iterations_ml=args.ml_iterations,
+        max_iterations_normal=args.normal_iterations,
+        stats_file=args.stats_file, model_file=args.model_file,
+        use_aspect_ratio_correction=args.case == "bfs",
+        use_adaptive_normalization=args.adaptive_norm,
+        blend_factor=args.blend_factor,
+        output_dir=args.out, verbose=not args.quiet,
+        dt=args.dt, scheme=args.scheme, dtype=args.dtype,
+        chunk_size=args.chunk_size, fused_step=args.fused,
+        pressure_sor=args.sor,
+    )
+    results.pop("hr_fields")
+    print(json.dumps(results, indent=2, default=str))
+
+
+def cmd_sweep(args):
+    from .workflow.sweep import generate_training_data
+
+    path = generate_training_data(
+        reynolds_numbers=args.re_list,
+        mesh_sizes=args.mesh_sizes,
+        output_dir=args.out or "results",
+        double_lid=args.double_lid,
+        dt=args.dt, scheme=args.scheme, dtype=args.dtype,
+        max_iterations=args.max_iterations,
+        use_device_mesh=args.device_mesh,
+        verbose=not args.quiet,
+    )
+    print(f"Combined dataset: {path}")
+
+
+def cmd_train(args):
+    import numpy as np
+
+    from .io.hdf5 import load_paired_reynolds_multi
+    from .workflow import training as tr
+
+    x_lr, x_hr, res, comps, bcs = load_paired_reynolds_multi(
+        args.data, args.lr_dim, args.hr_dim
+    )
+    print(f"Loaded {len(x_lr)} samples "
+          f"({dict(zip(*np.unique(bcs, return_counts=True)))})")
+    cfg = None
+    if args.test_re:
+        cfg = {
+            str(bc): {"train": "ALL_EXCEPT_TEST", "test": args.test_re,
+                      "evaluate": args.test_re}
+            for bc in np.unique(bcs)
+        }
+    train_mask, test_mask = tr.split_by_reynolds_config(res, bcs, cfg)
+    x_lr_n, x_hr_n, stats = tr.standardize_train_test(
+        x_lr, x_hr, comps, train_mask, args.lr_dim, args.hr_dim
+    )
+    print(f"Train {train_mask.sum()} / test {test_mask.sum()} samples")
+    result = tr.train_sr_autoencoder(
+        x_lr_n[train_mask], x_hr_n[train_mask], args.lr_dim, args.hr_dim,
+        epochs=args.epochs, batch_size=args.batch_size, verbose=not args.quiet,
+    )
+    print(f"Final loss {result.loss_history[-1]:.6f} "
+          f"({result.seconds:.1f}s)")
+    for re_val in args.test_re or []:
+        tr.evaluate_for_re(
+            re_val, result.model, result.params,
+            x_lr_n[test_mask], x_hr_n[test_mask], res[test_mask],
+            comps[test_mask], stats, args.lr_dim, args.hr_dim,
+            plot_dir=args.out if args.plots else None,
+        )
+    paths = tr.export_models(
+        result, stats, args.lr_dim, args.hr_dim, args.suffix,
+        out_dir=args.out or ".",
+    )
+    print(json.dumps(paths, indent=2))
+
+
+def cmd_bench(args):
+    import bench
+
+    bench.main()
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        prog="srcfd",
+        description="TPU-native ML-accelerated steady-state CFD "
+                    "(SR-for-CFD capabilities, JAX/Pallas).",
+    )
+    sub = ap.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("cavity", help="lid-driven cavity solve")
+    _solver_args(p, dt=1e-3, scheme="QUICK")
+    p.add_argument("--double-lid", action="store_true")
+    p.set_defaults(fn=cmd_cavity, re=100)
+
+    p = sub.add_parser("bfs", help="backward-facing step solve")
+    _solver_args(p, dt=2e-3, scheme="UPWIND")
+    p.set_defaults(fn=cmd_bfs)
+
+    p = sub.add_parser("hybrid", help="ML-accelerated hybrid experiment")
+    _solver_args(p, dt=1e-3, scheme="QUICK")
+    p.add_argument("--case", choices=["cavity", "double_lid", "bfs"],
+                   default="cavity")
+    p.add_argument("--lr-dim", type=int, default=10)
+    p.add_argument("--hr-dim", type=int, default=400)
+    p.add_argument("--ml-iterations", type=int, default=200)
+    p.add_argument("--normal-iterations", type=int, default=100000)
+    p.add_argument("--stats-file", default=None)
+    p.add_argument("--model-file", default=None)
+    p.add_argument("--adaptive-norm", action="store_true")
+    p.add_argument("--blend-factor", type=float, default=0.3)
+    p.set_defaults(fn=cmd_hybrid, re=1000)
+
+    p = sub.add_parser("sweep", help="data-generation sweep -> HDF5")
+    p.add_argument("--re-list", type=float, nargs="+",
+                   default=list(range(100, 801, 100)))
+    p.add_argument("--mesh-sizes", type=int, nargs="+", default=[10, 50, 400])
+    p.add_argument("--double-lid", action="store_true", default=True)
+    p.add_argument("--single-lid", dest="double_lid", action="store_false")
+    p.add_argument("--dt", type=float, default=1e-3)
+    p.add_argument("--scheme", default="QUICK")
+    p.add_argument("--dtype", default="float32")
+    p.add_argument("--max-iterations", type=int, default=100000)
+    p.add_argument("--device-mesh", action="store_true",
+                   help="shard cases across the device mesh")
+    p.add_argument("--out", default="results")
+    p.add_argument("--quiet", action="store_true")
+    p.set_defaults(fn=cmd_sweep)
+
+    p = sub.add_parser("train", help="train the SR autoencoder")
+    p.add_argument("data", nargs="+", help="sweep HDF5 file(s)")
+    p.add_argument("--lr-dim", type=int, default=10)
+    p.add_argument("--hr-dim", type=int, default=400)
+    p.add_argument("--epochs", type=int, default=500)
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--test-re", type=float, nargs="*", default=[800])
+    p.add_argument("--suffix", default="swish_tpu")
+    p.add_argument("--plots", action="store_true")
+    p.add_argument("--out", default="models")
+    p.add_argument("--quiet", action="store_true")
+    p.set_defaults(fn=cmd_train)
+
+    p = sub.add_parser("bench", help="solver throughput benchmark")
+    p.set_defaults(fn=cmd_bench)
+    return ap
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
