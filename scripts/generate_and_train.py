@@ -1,0 +1,128 @@
+"""End-to-end showcase: regenerate the reference's training data on TPU and
+train the 10->400 SR autoencoder.
+
+Mirrors the reference pipeline (sr-simulation-data-creation.ipynb +
+sr-ae-conv.ipynb): QUICK dt=1e-3 cavity solves over Re in {100..800} x
+meshes {10, 50, 400} for both single- and double-lid BCs -> per-Re and
+combined HDF5 -> multi-BC AE training with Re=800 held out. The decoder
+weights were stripped from the reference snapshot, so this regeneration is
+the only way to a working hybrid model (SURVEY.md section 0).
+
+Resumable: existing HDF5 groups are skipped. Run from the repo root:
+    python scripts/generate_and_train.py [--skip-sweep] [--skip-train]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import h5py
+import numpy as np
+
+REYNOLDS = list(range(100, 801, 100))
+MESHES = [10, 50, 400]
+DATA_DIR = "data"
+ART_DIR = "artifacts"
+LR_DIM, HR_DIM = 10, 400
+SUFFIX = "swish_tpu_multiBC"
+
+
+def case_done(path, re, size):
+    if not os.path.exists(path):
+        return False
+    with h5py.File(path, "r") as f:
+        g = f"Re{re}_mesh{size}x{size}"
+        return g in f and "u" in f[g]
+
+
+def run_sweep():
+    from sr_for_cfd_tpu.config import MeshParameters
+    from sr_for_cfd_tpu.io.hdf5 import save_fields_hdf5
+    from sr_for_cfd_tpu.solver.cases import make_cavity_solver
+
+    for double_lid in (False, True):
+        label = "double_lid(u_top=1,u_bottom=1)" if double_lid else "lid_driven_cavity"
+        case_name = ("double lid driven cavity" if double_lid
+                     else "lid driven cavity")
+        tag = "double_lid" if double_lid else "single_lid"
+        combined = os.path.join(DATA_DIR, f"simulation_result_{tag}.h5")
+        for size in MESHES:
+            for re in REYNOLDS:
+                if case_done(combined, re, size):
+                    print(f"[skip] {tag} Re={re} {size}x{size}", flush=True)
+                    continue
+                t0 = time.time()
+                solver = make_cavity_solver(
+                    Re=float(re), nx=size, ny=size, dt=1e-3, scheme="QUICK",
+                    double_lid=double_lid, dtype="float32",
+                    max_iterations=100000, chunk_size=5000,
+                    fused_step=True, pressure_sor=1.9,
+                )
+                iters, secs = solver.solve(
+                    f"/tmp/sweep_scratch/{tag}_{re}_{size}",
+                    verbose=False, save_results=False,
+                )
+                fields = solver.interior_fields()
+                mesh = MeshParameters(nx=size, ny=size, lx=1.0, ly=1.0)
+                save_fields_hdf5(combined, fields, mesh, re,
+                                 case_name=case_name, bc_type=label)
+                re_dir = os.path.join(DATA_DIR, f"{tag}_Re{re}")
+                save_fields_hdf5(
+                    os.path.join(re_dir, f"cavity_Re{re}_mesh{size}x{size}.h5"),
+                    fields, mesh, re, case_name=case_name, bc_type=label,
+                )
+                print(f"[done] {tag} Re={re} {size}x{size}: {iters} iters "
+                      f"in {secs:.1f}s", flush=True)
+
+
+def run_training():
+    from sr_for_cfd_tpu.io.hdf5 import load_paired_reynolds_multi
+    from sr_for_cfd_tpu.workflow import training as tr
+
+    files = [
+        os.path.join(DATA_DIR, "simulation_result_single_lid.h5"),
+        os.path.join(DATA_DIR, "simulation_result_double_lid.h5"),
+    ]
+    x_lr, x_hr, res, comps, bcs = load_paired_reynolds_multi(
+        files, LR_DIM, HR_DIM
+    )
+    print(f"loaded {len(x_lr)} samples; BC dist "
+          f"{dict(zip(*np.unique(bcs, return_counts=True)))}", flush=True)
+    train_mask, test_mask = tr.split_by_reynolds_config(res, bcs)
+    x_lr_n, x_hr_n, stats = tr.standardize_train_test(
+        x_lr, x_hr, comps, train_mask, LR_DIM, HR_DIM
+    )
+    print(f"train {train_mask.sum()} / test {test_mask.sum()}", flush=True)
+    result = tr.train_sr_autoencoder(
+        x_lr_n[train_mask], x_hr_n[train_mask], LR_DIM, HR_DIM,
+        epochs=500, batch_size=8, verbose=True, log_every=25,
+    )
+    print(f"training done in {result.seconds:.0f}s, final loss "
+          f"{result.loss_history[-1]:.6f}", flush=True)
+    ev = tr.evaluate_for_re(
+        800, result.model, result.params,
+        x_lr_n[test_mask], x_hr_n[test_mask], res[test_mask],
+        comps[test_mask], stats, LR_DIM, HR_DIM, plot_dir=ART_DIR,
+    )
+    paths = tr.export_models(result, stats, LR_DIM, HR_DIM, SUFFIX,
+                             out_dir=ART_DIR)
+    print("exported:", paths, flush=True)
+    print(f"EVAL avg_mae={ev['avg_mae']:.4f} avg_nmae={ev['avg_nmae_pct']:.2f}%"
+          f" (reference published 0.0048 / 0.32%)", flush=True)
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--skip-sweep", action="store_true")
+    ap.add_argument("--skip-train", action="store_true")
+    args = ap.parse_args()
+    os.makedirs("/tmp/sweep_scratch", exist_ok=True)
+    os.makedirs(DATA_DIR, exist_ok=True)
+    os.makedirs(ART_DIR, exist_ok=True)
+    if not args.skip_sweep:
+        run_sweep()
+    if not args.skip_train:
+        run_training()

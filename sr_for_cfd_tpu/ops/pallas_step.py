@@ -69,7 +69,7 @@ def make_step_kernel(case: CaseConfig, has_bfs: bool):
     nx, ny = mesh.nx, mesh.ny
     shape = (nx + 2, ny + 2)
     dx, dy, volp, dt = mesh.dx, mesh.dy, mesh.volp, st.dt
-    nu, rho = fluid.nu, fluid.rho
+    rho = fluid.rho
     inv_dx2, inv_dy2 = 1.0 / (dx * dx), 1.0 / (dy * dy)
     ap_d = -volp * (2.0 * inv_dx2 + 2.0 * inv_dy2)
     n_cells = nx * ny
@@ -82,9 +82,12 @@ def make_step_kernel(case: CaseConfig, has_bfs: bool):
     quick = st.scheme == QUICK
 
     def kernel(u_ref, v_ref, p_ref, fe_ref, fn_ref, fw_ref, fs_ref,
-               uin_ref, below_ref,
+               uin_ref, below_ref, nu_ref,
                uo_ref, vo_ref, po_ref, feo_ref, fno_ref, fwo_ref, fso_ref,
                res_ref):
+        # viscosity as a runtime scalar so all Reynolds numbers share one
+        # compiled executable
+        nu = nu_ref[0, 0]
         ii, jj, interior = _masks(shape)
         int_j = (jj >= 1) & (jj <= ny)
         int_i = (ii >= 1) & (ii <= nx)
@@ -301,6 +304,7 @@ def pallas_simple_step(
     ff: FaceFluxes,
     case: CaseConfig,
     profile: Optional[BFSInletProfile],
+    nu=None,
     interpret: bool = False,
 ):
     """Run one fused SIMPLE outer iteration. Returns (u, v, p, FaceFluxes
@@ -318,6 +322,9 @@ def pallas_simple_step(
     else:
         u_in = jnp.zeros((1, shape[1]), dtype)
         below = jnp.zeros((1, shape[1]), dtype)
+    if nu is None:
+        nu = case.fluid.nu
+    nu_arr = jnp.full((1, 1), 1.0, dtype) * nu
 
     vmem = pltpu.ANY if interpret else pltpu.VMEM
     kw = {}
@@ -333,12 +340,12 @@ def pallas_simple_step(
             [jax.ShapeDtypeStruct(shape, dtype)] * 7
             + [jax.ShapeDtypeStruct((1, 3), dtype)]
         ),
-        in_specs=[pl.BlockSpec(memory_space=vmem)] * 9,
+        in_specs=[pl.BlockSpec(memory_space=vmem)] * 10,
         out_specs=[pl.BlockSpec(memory_space=vmem)] * 8,
         interpret=interpret,
         **kw,
     )(u, v, p, pad_flux(ff.e), pad_flux(ff.n), pad_flux(ff.w), pad_flux(ff.s),
-      u_in, below)
+      u_in, below, nu_arr)
     u2, v2, p2, fe, fn, fw, fs, res = outs
     ff2 = FaceFluxes(
         e=fe[1:-1, 1:-1], n=fn[1:-1, 1:-1], w=fw[1:-1, 1:-1], s=fs[1:-1, 1:-1]

@@ -64,10 +64,10 @@ def simple_step(
     the step can be vmapped over Reynolds numbers (data-generation sweep).
     """
     mesh, fluid, st = case.mesh, case.fluid, case.settings
-    if st.fused_step and state.u.dtype == jnp.float32 and nu is None:
-        return _fused_step(state, case, profile)
     if nu is None:
         nu = fluid.nu
+    if st.fused_step and state.u.dtype == jnp.float32:
+        return _fused_step(state, case, profile, nu)
     dx, dy, volp, dt = mesh.dx, mesh.dy, mesh.volp, st.dt
     sweep_kw = dict(
         tol=st.inner_tolerance,
@@ -158,7 +158,8 @@ def simple_step(
 
 
 def _fused_step(
-    state: SolverState, case: CaseConfig, profile: Optional[BFSInletProfile]
+    state: SolverState, case: CaseConfig, profile: Optional[BFSInletProfile],
+    nu,
 ) -> SolverState:
     """Delegate the whole outer iteration to the single fused Pallas kernel
     (ops/pallas_step.py); float32 / single-device only."""
@@ -166,7 +167,7 @@ def _fused_step(
 
     st = case.settings
     u, v, p, ff, res = pallas_simple_step(
-        state.u, state.v, state.p, state.ff, case, profile,
+        state.u, state.v, state.p, state.ff, case, profile, nu=nu,
         interpret=jax.default_backend() != "tpu",
     )
     n_cells = case.mesh.nx * case.mesh.ny
@@ -197,10 +198,13 @@ def run_chunk(
     profile: Optional[BFSInletProfile],
     case: CaseConfig,
     n_steps: int,
+    nu=None,
 ) -> SolverState:
     """Run up to `n_steps` outer iterations on-device (stops early on
-    convergence/divergence/max_iterations)."""
-    step = partial(simple_step, case=case, profile=profile)
+    convergence/divergence/max_iterations). `nu` (traced) keeps the
+    viscosity out of the compiled program so solves over many Reynolds
+    numbers share one executable."""
+    step = partial(simple_step, case=case, profile=profile, nu=nu)
 
     def body(carry):
         s, i = carry
@@ -283,6 +287,9 @@ class CFDSolver:
         self.profile = inlet_profile(self.case)
         self.state = init_state(self.case)
         self.residual_history = ResidualHistory()
+        self._nu = jnp.asarray(
+            self.case.fluid.nu, jnp.dtype(self.case.settings.dtype)
+        )
         self._chunk_fn = partial(
             jitted_run_chunk,
             case=self.case,
@@ -356,7 +363,8 @@ class CFDSolver:
 
         try:
             while True:
-                self.state = self._chunk_fn(self.state, self.profile)
+                self.state = self._chunk_fn(self.state, self.profile,
+                                            nu=self._nu)
                 count = int(self.state.count)
                 rms = np.asarray(self.state.rms)
                 self.residual_history.append(count, rms)

@@ -1,0 +1,119 @@
+"""I/O layer tests: .dat round-trips, HDF5 schema, checkpoints, naming."""
+
+import numpy as np
+import pytest
+
+from sr_for_cfd_tpu.config import BFSGeometry, MeshParameters
+from sr_for_cfd_tpu.io import datfiles, hdf5
+from sr_for_cfd_tpu.io.checkpoint import (
+    load_params,
+    load_solver_fields,
+    save_params,
+    save_solver_state,
+)
+from sr_for_cfd_tpu.utils import naming
+
+
+def test_centerline_dat_roundtrip(tmp_path, rng):
+    mesh = MeshParameters(nx=8, ny=6, lx=2.0, ly=3.0)
+    var = rng.standard_normal((3, 10, 8))
+    path = str(tmp_path / "c.dat")
+    datfiles.save_centerline_data(path, var, mesh, re=250)
+    y, u, x, v = datfiles.load_centerline_dat(path)
+    cl = datfiles.extract_centerlines(var, mesh)
+    np.testing.assert_allclose(u, cl["u_centerline"], atol=1e-6)
+    np.testing.assert_allclose(v, cl["v_centerline"], atol=1e-6)
+    np.testing.assert_allclose(y, cl["y"], atol=1e-6)
+    np.testing.assert_allclose(x, cl["x"], atol=1e-6)
+
+
+def test_golden_centerline_parses():
+    """Our parser reads the reference's golden artifact."""
+    import os
+
+    path = "/root/reference/outputs/bfs_Re400_centerline.dat"
+    if not os.path.exists(path):
+        pytest.skip("reference artifact absent")
+    y, u, x, v = datfiles.load_centerline_dat(path)
+    assert len(y) == len(u) == len(x) == len(v) == 10
+    assert y[-1] == pytest.approx(3.0)
+    assert x[-1] == pytest.approx(10.0)
+
+
+def test_hdf5_schema_and_loader_roundtrip(tmp_path, rng):
+    """Fields written by save_fields_hdf5 load back through the training
+    loader with correct pairing."""
+    path = str(tmp_path / "sim.h5")
+    for size in (4, 8):
+        mesh = MeshParameters(nx=size, ny=size)
+        for re in (100, 200):
+            fields = {c: rng.standard_normal((size, size)).astype(np.float32)
+                      for c in "uvp"}
+            hdf5.save_fields_hdf5(path, fields, mesh, re, bc_type="testbc")
+    x_lr, x_hr, res, comps, bcs = hdf5.load_paired_reynolds_multi([path], 4, 8)
+    assert x_lr.shape == (6, 4, 4, 1)
+    assert x_hr.shape == (6, 8, 8, 1)
+    assert set(res.tolist()) == {100, 200}
+    assert set(bcs.tolist()) == {"testbc"}
+
+
+def test_hdf5_bfs_attrs(tmp_path, rng):
+    import h5py
+
+    path = str(tmp_path / "bfs.h5")
+    mesh = MeshParameters(nx=4, ny=4, lx=10.0, ly=3.0)
+    fields = {c: rng.standard_normal((4, 4)) for c in "uvp"}
+    hdf5.save_fields_hdf5(path, fields, mesh, 400, bfs=BFSGeometry())
+    with h5py.File(path) as f:
+        g = f["Re400_mesh4x4"]
+        assert g.attrs["lx"] == 10.0
+        assert g.attrs["step_height"] == 1.0
+
+
+def test_solver_state_checkpoint(tmp_path):
+    """Solver snapshot -> restore via warm_start reproduces the fields."""
+    from sr_for_cfd_tpu.solver.cases import make_cavity_solver
+
+    solver = make_cavity_solver(Re=100, nx=8, ny=8, dt=2e-3, dtype="float64",
+                                max_iterations=50, chunk_size=50)
+    solver.solve(str(tmp_path / "x"), verbose=False, save_results=False)
+    path = str(tmp_path / "state.npz")
+    save_solver_state(path, solver.state)
+    fields = load_solver_fields(path)
+    np.testing.assert_allclose(fields["u"], solver.interior_fields()["u"])
+
+    solver2 = make_cavity_solver(Re=100, nx=8, ny=8, dt=2e-3, dtype="float64")
+    solver2.warm_start(fields)
+    np.testing.assert_allclose(
+        np.asarray(solver2.state.u)[1:-1, 1:-1],
+        np.asarray(solver.state.u)[1:-1, 1:-1],
+    )
+
+
+def test_params_checkpoint_roundtrip(tmp_path, rng):
+    import jax
+    import jax.numpy as jnp
+
+    from sr_for_cfd_tpu.models.autoencoder import build_encoder
+
+    enc = build_encoder(10)
+    params = enc.init(jax.random.key(0), jnp.zeros((1, 10, 10, 1)))
+    path = str(tmp_path / "enc.msgpack")
+    save_params(path, params)
+    loaded = load_params(path, params)
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(loaded)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_naming_conventions():
+    assert naming.fmt_re(400.0) == "400"
+    assert naming.fmt_re(412.5) == "412.5"
+    files = naming.default_model_files(10, 400, "swish_trained_upto_700")
+    assert files["encoder_file"].endswith(
+        "vanilla_encoder10_to_400_swish_trained_upto_700.h5"
+    )
+    assert files["stats_file"].endswith(
+        "standardization_stats_10to400_swish_trained_upto_700.txt"
+    )
+    assert "vanilla_decoder400_from_10" in files["decoder_file"]
