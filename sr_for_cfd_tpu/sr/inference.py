@@ -139,6 +139,7 @@ def ml_super_resolution(
     use_adaptive_normalization: bool = False,
     blend_factor: float = 0.3,
     out_shape=None,
+    aspect_mode: str = "identity",
     verbose: bool = True,
 ) -> Dict[str, np.ndarray]:
     """Super-resolve {u, v, p} coarse fields to {u, v, p} fine fields.
@@ -161,6 +162,15 @@ def ml_super_resolution(
         model = BicubicSR(lr_dim, hr_dim)
 
     aspect = bool(use_aspect_ratio_correction and (lx != ly))
+    # 'extrapolate' reproduces the reference's spline coordinate remap on
+    # host (sr/resample.py); 'identity' (default) feeds the square arrays
+    # directly and stays on device.
+    if aspect and aspect_mode == "extrapolate":
+        from .resample import rect_to_square
+
+        coarse_fields = rect_to_square(
+            {c: np.asarray(coarse_fields[c]) for c in COMPONENTS}, lx, ly
+        )
     src = np.stack([np.asarray(coarse_fields[c], np.float32) for c in COMPONENTS])
     if out_shape is None:
         out_shape = (hr_dim, hr_dim)
@@ -181,7 +191,7 @@ def ml_super_resolution(
         lr_dim=lr_dim,
         hr_dim=hr_dim,
         out_shape=tuple(out_shape),
-        aspect_correct=aspect,
+        aspect_correct=aspect and aspect_mode != "extrapolate",
         blend_factor=blend_factor,
         adaptive=use_adaptive_normalization,
     )
@@ -189,6 +199,14 @@ def ml_super_resolution(
     pred = np.asarray(pred)
 
     hr_fields = {c: pred[i] for i, c in enumerate(COMPONENTS)}
+    if aspect and aspect_mode == "extrapolate":
+        from .resample import square_to_rect
+
+        hr_fields = square_to_rect(hr_fields, lx, ly)
+        hr_fields = {
+            c: np.nan_to_num(v, nan=0.0, posinf=0.0, neginf=0.0).astype(np.float32)
+            for c, v in hr_fields.items()
+        }
     if verbose:
         for c in COMPONENTS:
             print(f"  {c.upper()}: {coarse_fields[c].shape} -> "

@@ -91,3 +91,32 @@ def test_hybrid_experiment_end_to_end(tmp_path, rng):
     assert results["ml_iterations"] < results["normal_iterations"]
     assert results["centerline_diff"]["U"]["max"] < 1e-4
     assert results["centerline_diff"]["V"]["max"] < 1e-4
+
+
+def test_aspect_mode_extrapolate(rng):
+    """Reference-faithful spline coordinate remap (host, scipy): runs and
+    produces finite fields; differs from identity mode on rect domains."""
+    coarse = {c: rng.standard_normal((10, 10)).astype(np.float32) for c in "uvp"}
+    kw = dict(stats=_make_stats(10, 20), model=BicubicSR(10, 20),
+              use_aspect_ratio_correction=True, lx=10.0, ly=3.0,
+              out_shape=(20, 20), verbose=False)
+    hr_ref = ml_super_resolution(coarse, 10, 20, aspect_mode="extrapolate", **kw)
+    hr_id = ml_super_resolution(coarse, 10, 20, aspect_mode="identity", **kw)
+    for c in "uvp":
+        assert hr_ref[c].shape == (20, 20)
+        assert np.all(np.isfinite(hr_ref[c]))
+    assert np.abs(hr_ref["u"] - hr_id["u"]).max() > 1e-6
+
+
+def test_resample_roundtrip_interior():
+    """square_to_rect(rect_to_square(f)) reproduces smooth fields in the
+    data band (the extrapolated region is discarded by the inverse)."""
+    from sr_for_cfd_tpu.sr.resample import rect_to_square, square_to_rect
+
+    ny = nx = 16
+    x = np.linspace(0, 10, nx)
+    y = np.linspace(0, 3, ny)
+    f = np.sin(x)[None, :] * np.cos(y)[:, None]
+    sq = rect_to_square({"u": f, "v": f, "p": f}, 10.0, 3.0)
+    back = square_to_rect(sq, 10.0, 3.0)
+    np.testing.assert_allclose(back["u"], f, atol=2e-2)
