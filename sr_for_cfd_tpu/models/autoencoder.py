@@ -117,6 +117,12 @@ class SuperResolutionAE(nn.Module):
     latent_dim: int = LATENT_DIM
 
     def setup(self):
+        for res in (self.lr_resolution, self.hr_resolution):
+            if res not in ENCODER_SPECS:
+                raise ValueError(
+                    f"No architecture spec for resolution {res}; "
+                    f"available: {RESOLUTIONS}"
+                )
         self.encoder_lr = Encoder(self.lr_resolution, self.latent_dim)
         self.decoder_hr = Decoder(self.hr_resolution, self.latent_dim)
 

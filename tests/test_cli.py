@@ -1,0 +1,58 @@
+"""CLI tests: parser coverage + a real end-to-end cavity run through main()."""
+
+import json
+import os
+
+import pytest
+
+from sr_for_cfd_tpu.cli import build_parser, main
+
+
+def test_parser_all_subcommands():
+    p = build_parser()
+    for argv in (
+        ["cavity"], ["bfs"], ["hybrid"], ["sweep"], ["train", "x.h5"],
+        ["bench"],
+    ):
+        args = p.parse_args(argv)
+        assert callable(args.fn)
+
+
+def test_parser_rejects_bad_scheme():
+    with pytest.raises(SystemExit):
+        build_parser().parse_args(["cavity", "--scheme", "CENTRAL"])
+
+
+def test_cavity_run_via_cli(tmp_path, capsys):
+    out = str(tmp_path / "cav")
+    main([
+        "cavity", "--re", "100", "--nx", "12", "--dt", "2e-3",
+        "--dtype", "float64", "--chunk-size", "2000", "--quiet",
+        "--out", out,
+    ])
+    captured = capsys.readouterr()
+    assert "Converged in" in captured.out
+    for suffix in (".h5", "_centerline.dat", "_full.dat", "_centerlines.png",
+                   "_contours.png"):
+        assert os.path.exists(out + suffix), suffix
+
+
+def test_sweep_and_train_via_cli(tmp_path, capsys):
+    data_dir = str(tmp_path / "d")
+    main([
+        "sweep", "--re-list", "100", "200", "--mesh-sizes", "10", "20",
+        "--dt", "2e-3", "--dtype", "float64", "--scheme", "UPWIND",
+        "--max-iterations", "30000", "--out", data_dir, "--quiet",
+    ])
+    combined = os.path.join(data_dir, "simulation_result_double_lid.h5")
+    assert os.path.exists(combined)
+    main([
+        "train", combined, "--lr-dim", "10", "--hr-dim", "20",
+        "--epochs", "3", "--batch-size", "2", "--test-re", "200",
+        "--out", str(tmp_path / "m"), "--suffix", "clitest", "--quiet",
+    ])
+    captured = capsys.readouterr()
+    assert "Final loss" in captured.out
+    assert os.path.exists(
+        str(tmp_path / "m" / "vanilla_encoder10_to_20_clitest.msgpack")
+    )
