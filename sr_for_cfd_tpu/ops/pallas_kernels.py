@@ -94,19 +94,24 @@ def _pressure_kernel(
         return f, jnp.sqrt(ss / n_cells)
 
     def body(carry):
-        f, _, it = carry
+        f, prev, _, it = carry
         f = jax.lax.fori_loop(
             0, check_every - 1, lambda _, g: sweep(g, False)[0], f
         )
         f, rms = sweep(f, True)
-        return f, rms, it + check_every
+        return f, rms, prev, it + check_every
 
     def cond(carry):
-        _, rms, it = carry
-        return jnp.logical_and(it < max_iter, rms >= tol32)
+        _, rms, prev, it = carry
+        # exit on stall (f32 precision floor) as well as tol/cap
+        improving = jnp.logical_or(rms < 0.999 * prev, jnp.isinf(prev))
+        return jnp.logical_and(
+            jnp.logical_and(it < max_iter, rms >= tol32), improving
+        )
 
-    init = (p, jnp.asarray(jnp.inf, p.dtype), jnp.asarray(0, jnp.int32))
-    p, _, _ = jax.lax.while_loop(cond, body, init)
+    big = jnp.asarray(jnp.inf, p.dtype)
+    init = (p, big, big, jnp.asarray(0, jnp.int32))
+    p, _, _, _ = jax.lax.while_loop(cond, body, init)
     out_ref[:] = p
 
 

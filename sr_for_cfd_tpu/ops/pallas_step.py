@@ -189,20 +189,23 @@ def make_step_kernel(case: CaseConfig, has_bfs: bool):
                 return f, jnp.sqrt(ss / n_cells)
 
             def body(c):
-                f, _, it = c
+                f, prev, _, it = c
                 f = jax.lax.fori_loop(
                     0, m_check - 1, lambda _, g: sweep(g, False)[0], f
                 )
                 f, rms = sweep(f, True)
-                return f, rms, it + m_check
+                return f, rms, prev, it + m_check
 
             def cond(c):
-                _, rms, it = c
-                return jnp.logical_and(it < max_iter, rms >= tol)
+                _, rms, prev, it = c
+                improving = jnp.logical_or(rms < 0.999 * prev, jnp.isinf(prev))
+                return jnp.logical_and(
+                    jnp.logical_and(it < max_iter, rms >= tol), improving
+                )
 
-            f, _, _ = jax.lax.while_loop(
-                cond, body,
-                (f0, jnp.asarray(jnp.inf, f0.dtype), jnp.asarray(0, jnp.int32)),
+            big = jnp.asarray(jnp.inf, f0.dtype)
+            f, _, _, _ = jax.lax.while_loop(
+                cond, body, (f0, big, big, jnp.asarray(0, jnp.int32))
             )
             return f
 
@@ -244,20 +247,23 @@ def make_step_kernel(case: CaseConfig, has_bfs: bool):
             return f, jnp.sqrt(ss / n_cells)
 
         def p_body(c):
-            f, _, it = c
+            f, prev, _, it = c
             f = jax.lax.fori_loop(
                 0, p_check - 1, lambda _, g: p_sweep(g, False)[0], f
             )
             f, rms = p_sweep(f, True)
-            return f, rms, it + p_check
+            return f, rms, prev, it + p_check
 
         def p_cond(c):
-            _, rms, it = c
-            return jnp.logical_and(it < max_iter, rms >= tol)
+            _, rms, prev, it = c
+            improving = jnp.logical_or(rms < 0.999 * prev, jnp.isinf(prev))
+            return jnp.logical_and(
+                jnp.logical_and(it < max_iter, rms >= tol), improving
+            )
 
-        p, _, _ = jax.lax.while_loop(
-            p_cond, p_body,
-            (p0, jnp.asarray(jnp.inf, p0.dtype), jnp.asarray(0, jnp.int32)),
+        bigp = jnp.asarray(jnp.inf, p0.dtype)
+        p, _, _, _ = jax.lax.while_loop(
+            p_cond, p_body, (p0, bigp, bigp, jnp.asarray(0, jnp.int32))
         )
         if alpha["p"] != 1.0:
             p = jnp.where(interior, p0 + alpha["p"] * (p - p0), p)

@@ -139,18 +139,26 @@ def sweep_loop(
             return f, rms
 
     def body(carry):
-        f, _, it = carry
+        f, prev, _, it = carry
         for _ in range(check_every - 1):
             f, _ = sweep(f, with_rms=False)
         f, rms = sweep(f, with_rms=True)
-        return f, rms, it + check_every
+        return f, rms, prev, it + check_every
 
     def cond(carry):
-        _, rms, it = carry
-        return jnp.logical_and(it < max_iter, rms >= tol)
+        _, rms, prev, it = carry
+        # stall detection: once rms stops improving (precision floor), more
+        # sweeps are pure waste - crucial for f32 where the reference's
+        # absolute 1e-6 tolerance may be unreachable and the loop would
+        # otherwise burn its full cap every outer iteration
+        improving = jnp.logical_or(rms < 0.999 * prev, jnp.isinf(prev))
+        return jnp.logical_and(
+            jnp.logical_and(it < max_iter, rms >= tol), improving
+        )
 
-    init = (phi, jnp.asarray(jnp.inf, dtype=dtype), jnp.asarray(0, jnp.int32))
-    phi, _, _ = jax.lax.while_loop(cond, body, init)
+    big = jnp.asarray(jnp.inf, dtype=dtype)
+    init = (phi, big, big, jnp.asarray(0, jnp.int32))
+    phi, _, _, _ = jax.lax.while_loop(cond, body, init)
     return phi
 
 

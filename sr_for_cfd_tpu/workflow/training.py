@@ -61,6 +61,8 @@ class TrainResult:
     loss_history: List[float] = field(default_factory=list)
     stats: Dict[str, float] = field(default_factory=dict)
     seconds: float = 0.0
+    best_epoch: int = -1
+    best_loss: float = float("inf")
 
 
 def split_by_reynolds_config(
@@ -128,6 +130,7 @@ def train_sr_autoencoder(
     mesh: Optional[Mesh] = None,
     verbose: bool = True,
     log_every: int = 50,
+    keep_best: bool = True,
 ) -> TrainResult:
     """Train the SuperResolutionAE with shuffled mini-batches and MSE.
 
@@ -159,6 +162,7 @@ def train_sr_autoencoder(
 
     t0 = time.time()
     history = []
+    best_loss, best_epoch, best_params = float("inf"), -1, params
     for epoch in range(epochs):
         perm = rng.permutation(n)
         epoch_loss = 0.0
@@ -174,11 +178,14 @@ def train_sr_autoencoder(
             params, opt_state, loss = step_fn(params, opt_state, bx, by)
             epoch_loss += float(loss)
         history.append(epoch_loss / steps)
+        if keep_best and history[-1] < best_loss:
+            best_loss, best_epoch, best_params = history[-1], epoch, params
         if verbose and (epoch + 1) % log_every == 0:
             print(f"  epoch {epoch + 1}/{epochs} recon_loss={history[-1]:.6f}")
+    final_params = best_params if keep_best else params
     return TrainResult(
-        params=params, model=model, loss_history=history,
-        seconds=time.time() - t0,
+        params=final_params, model=model, loss_history=history,
+        seconds=time.time() - t0, best_epoch=best_epoch, best_loss=best_loss,
     )
 
 
