@@ -62,7 +62,7 @@ def main():
         use_adaptive_normalization=True, blend_factor=0.3,
         output_dir=args.out, verbose=True,
         dtype="float32", chunk_size=2000, fused_step=True,
-        pressure_sor=args.sor,
+        pressure_sor=args.sor, plateau_patience=5,
     )
     total = time.time() - t0
 

@@ -204,6 +204,12 @@ class SolverSettings:
     # (1.0 = plain red-black GS, reference semantics; ~1.9 converges the
     # Poisson solve an order of magnitude faster - same fixed point).
     pressure_sor: float = 1.0
+    # Outer-loop plateau stopping (0 = off): stop when the residual RMS has
+    # not improved by plateau_rtol over this many consecutive chunks -
+    # "converged to working precision". Essential for f32 runs whose
+    # residuals floor above the reference's f64-calibrated criteria.
+    plateau_patience: int = 0
+    plateau_rtol: float = 0.01
     # TPU production runs in float32; float64 is the CPU validation mode.
     dtype: str = "float32"
     # Host round-trip cadence for logging / convergence checks.

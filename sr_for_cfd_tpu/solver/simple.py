@@ -361,6 +361,8 @@ class CFDSolver:
             print("\nIteration\tU-RMS\t\tV-RMS\t\tP-RMS")
             print("-" * 60)
 
+        best_rms = np.full(3, np.inf)
+        stale_chunks = 0
         try:
             while True:
                 self.state = self._chunk_fn(self.state, self.profile,
@@ -386,6 +388,20 @@ class CFDSolver:
                     )
                 if bool(self.state.converged) or count >= st.max_iterations:
                     break
+                # plateau stopping: residuals stopped improving (working-
+                # precision floor; opt-in, see SolverSettings)
+                if st.plateau_patience > 0:
+                    if np.any(rms < (1.0 - st.plateau_rtol) * best_rms):
+                        stale_chunks = 0
+                    else:
+                        stale_chunks += 1
+                        if stale_chunks >= st.plateau_patience:
+                            if verbose:
+                                print(f"Stopping at iteration {count}: "
+                                      f"residuals plateaued (working-"
+                                      f"precision convergence)")
+                            break
+                    best_rms = np.minimum(best_rms, rms)
         finally:
             if log_file:
                 log_file.close()

@@ -8,10 +8,12 @@ encoder/decoder -> inverse-standardize -> (optional square->rect resample) -
 is one jitted function; all three components run as a single batch of 3
 through the network, and nothing round-trips to the host between stages.
 
-Aspect-ratio correction uses `jax.image.resize(..., method='cubic')` on the
-uniform grid where the reference uses SciPy's RectBivariateSpline(kx=ky=3)
-(`bfs_ml_accelerated.py:59-145`); both are bicubic resamplings, differing
-only in boundary treatment.
+Aspect-ratio correction comes in two modes (`aspect_mode`): 'identity'
+(default) feeds the square-array fields directly to the model -
+mathematically a coordinate relabeling, fully on-device; 'extrapolate'
+reproduces the reference's SciPy spline remap with its out-of-domain
+extrapolation exactly (`bfs_ml_accelerated.py:59-145`; see sr/resample.py
+for why that convention extrapolates ~70% of the BFS square).
 
 A `BicubicSR` fallback model makes the hybrid workflow runnable before any
 AE is trained (the decoder weights are missing from the reference snapshot,
