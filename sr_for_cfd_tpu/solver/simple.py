@@ -361,8 +361,7 @@ class CFDSolver:
             print("\nIteration\tU-RMS\t\tV-RMS\t\tP-RMS")
             print("-" * 60)
 
-        best_rms = np.full(3, np.inf)
-        stale_chunks = 0
+        rms_window: list = []
         try:
             while True:
                 self.state = self._chunk_fn(self.state, self.profile,
@@ -389,19 +388,21 @@ class CFDSolver:
                 if bool(self.state.converged) or count >= st.max_iterations:
                     break
                 # plateau stopping: residuals stopped improving (working-
-                # precision floor; opt-in, see SolverSettings)
+                # precision floor; opt-in, see SolverSettings). Compares
+                # windowed medians so residual noise can't defeat it.
                 if st.plateau_patience > 0:
-                    if np.any(rms < (1.0 - st.plateau_rtol) * best_rms):
-                        stale_chunks = 0
-                    else:
-                        stale_chunks += 1
-                        if stale_chunks >= st.plateau_patience:
+                    rms_window.append(rms)
+                    n = st.plateau_patience
+                    if len(rms_window) >= 2 * n:
+                        recent = np.median(rms_window[-n:], axis=0)
+                        prior = np.median(rms_window[-2 * n : -n], axis=0)
+                        if np.all(recent >= (1.0 - st.plateau_rtol) * prior):
                             if verbose:
                                 print(f"Stopping at iteration {count}: "
                                       f"residuals plateaued (working-"
                                       f"precision convergence)")
                             break
-                    best_rms = np.minimum(best_rms, rms)
+                        rms_window = rms_window[-2 * n :]
         finally:
             if log_file:
                 log_file.close()
