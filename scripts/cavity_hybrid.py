@@ -23,7 +23,7 @@ def main():
     model = "artifacts/vanilla_superres_10to400_swish_tpu_multiBC.msgpack"
     t0 = time.time()
     results = run_hybrid_experiment(
-        Re=1000, lr_dim=10, hr_dim=400, dt=1e-3, scheme="QUICK",
+        Re=1000 + (time.time() % 1) * 1e-6, lr_dim=10, hr_dim=400, dt=1e-3, scheme="QUICK",
         case="double_lid",
         max_iterations_coarse=100000,
         max_iterations_ml=200,          # the reference's headline budget
