@@ -77,7 +77,12 @@ def make_step_kernel(case: CaseConfig, has_bfs: bool):
     max_iter = st.inner_max_iter
     m_check = max(1, st.momentum_check_every)
     p_check = max(1, st.pressure_check_every)
-    sor = st.pressure_sor
+    # clamp SOR to the grid's optimal omega = 2/(1+sin(pi/N)): values above
+    # it slow red-black convergence (badly mismatched on small grids)
+    import math as _math
+
+    sor_opt = 2.0 / (1.0 + _math.sin(_math.pi / max(2, min(nx, ny))))
+    sor = min(st.pressure_sor, sor_opt)
     alpha = {k: st.relax(k) for k in ("u", "v", "p")}
     quick = st.scheme == QUICK
 

@@ -214,7 +214,11 @@ def solve_pressure(
     """Pressure-Poisson solve (reference `solve_pressure`,
     `LDV PyCFD given by sir.py:561-583`). The RHS (face-flux divergence) is
     frozen for the whole inner solve, as in the reference."""
+    import math as _math
+
     nx, ny = p.shape[0] - 2, p.shape[1] - 2
+    # clamp SOR to the grid-optimal omega (see pallas_step.make_step_kernel)
+    sor = min(sor, 2.0 / (1.0 + _math.sin(_math.pi / max(2, min(nx, ny)))))
     div_sum = ff.divergence_sum()
     fn = partial(
         pressure_residual, div_sum=div_sum, dx=dx, dy=dy, dt=dt, rho=rho,
