@@ -1,0 +1,95 @@
+"""Run the full demo/benchmark suite sequentially and write
+outputs/demo_results.json:
+
+  1. cavity hybrid, reference config (ML budget 200) - the reference's
+     marquee experiment (`PyCFD_ML_accelerated.py:1355-1501`)
+  2. cavity hybrid, strict (ML runs to plateau -> converged centerlines)
+  3. BFS hybrid (north star, BASELINE.json)
+
+Each run nudges Re by a per-run epsilon large enough to change nu in f32
+(nu is a traced input), so identical-input result caching in the remote
+runtime can never fake a timing.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REF_CPU = 84347 / 3567.5  # 23.64 outer-iters/sec (BASELINE.md)
+STATS = "artifacts/standardization_stats_10to400_swish_tpu_multiBC.txt"
+MODEL = "artifacts/vanilla_superres_10to400_swish_tpu_multiBC.msgpack"
+
+
+def nudge(re):
+    # ~0.002% Reynolds perturbation: changes nu in f32, physically nil
+    return re * (1.0 + (time.time() % 1.0) * 2e-5)
+
+
+def run(name, **kw):
+    from sr_for_cfd_tpu.workflow.hybrid import run_hybrid_experiment
+
+    t0 = time.time()
+    r = run_hybrid_experiment(
+        stats_file=STATS if os.path.exists(STATS) else None,
+        model_file=MODEL if os.path.exists(MODEL) else None,
+        verbose=False, dtype="float32", chunk_size=2000, fused_step=True,
+        pressure_sor=1.9, plateau_patience=5, **kw,
+    )
+    hybrid = r["coarse_time"] + r["ml_time"]
+    ref_s = r["normal_iterations"] / REF_CPU
+    out = {
+        "hybrid_wall_s": round(hybrid, 1),
+        "coarse_wall_s": round(r["coarse_time"], 1),
+        "ml_wall_s": round(r["ml_time"], 1),
+        "normal_wall_s": round(r["normal_time"], 1),
+        "iterations": {
+            "coarse": r["coarse_iterations"],
+            "ml": r["ml_iterations"],
+            "normal": r["normal_iterations"],
+        },
+        "speedup_vs_own_cold": round(r["normal_time"] / hybrid, 2),
+        "ref_cpu_normal_est_s": round(ref_s, 1),
+        "speedup_vs_ref_cpu": round(ref_s / hybrid, 1),
+        "centerline_diff_U_max": r["centerline_diff"]["U"]["max"],
+        "centerline_diff_V_max": r["centerline_diff"]["V"]["max"],
+        "total_s": round(time.time() - t0, 1),
+    }
+    print(f"{name}: {json.dumps(out)}", flush=True)
+    return out
+
+
+def main():
+    os.makedirs("outputs", exist_ok=True)
+    results = {}
+    results["cavity_reference_config"] = run(
+        "cavity_reference_config",
+        Re=nudge(1000), lr_dim=10, hr_dim=400, dt=1e-3, scheme="QUICK",
+        case="double_lid", max_iterations_coarse=100000,
+        max_iterations_ml=200, max_iterations_normal=100000,
+        output_dir="outputs/demo_cavity_ref",
+    )
+    results["cavity_strict_convergence"] = run(
+        "cavity_strict_convergence",
+        Re=nudge(1000), lr_dim=10, hr_dim=400, dt=1e-3, scheme="QUICK",
+        case="double_lid", max_iterations_coarse=100000,
+        max_iterations_ml=100000, max_iterations_normal=100000,
+        output_dir="outputs/demo_cavity_strict",
+    )
+    results["bfs_north_star"] = run(
+        "bfs_north_star",
+        Re=nudge(400), lr_dim=10, hr_dim=400, dt=2e-3, scheme="UPWIND",
+        case="bfs", max_iterations_coarse=100000,
+        max_iterations_ml=50000, max_iterations_normal=100000,
+        use_aspect_ratio_correction=True, use_adaptive_normalization=True,
+        blend_factor=0.3, output_dir="outputs/demo_bfs",
+    )
+    with open("outputs/demo_results.json", "w") as f:
+        json.dump(results, f, indent=2)
+    print("ALL_DEMOS_DONE", flush=True)
+
+
+if __name__ == "__main__":
+    main()

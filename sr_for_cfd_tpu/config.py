@@ -14,7 +14,7 @@ Boundary *values* become traced scalars inside the kernels.
 from __future__ import annotations
 
 import dataclasses
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, Optional, Tuple
 
 SIDES = ("left", "right", "top", "bottom")

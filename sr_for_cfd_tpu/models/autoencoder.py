@@ -16,8 +16,6 @@ All are NHWC with a single channel; inference batches are (N, res, res, 1).
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
-
 import flax.linen as nn
 import jax.numpy as jnp
 

@@ -65,8 +65,6 @@ class ShardedSolver:
         return self.state
 
     def solve(self, max_chunks: Optional[int] = None) -> SolverState:
-        import numpy as np
-
         chunks = 0
         while True:
             self.run_chunk()

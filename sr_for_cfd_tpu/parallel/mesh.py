@@ -8,7 +8,7 @@ spatial domain decomposition of the solver grid.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import numpy as np

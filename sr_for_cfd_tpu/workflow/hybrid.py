@@ -15,7 +15,6 @@ two near-identical copies.
 from __future__ import annotations
 
 import os
-import time
 from typing import Dict, Optional, Tuple
 
 import numpy as np

@@ -12,14 +12,12 @@ error isolation (the reference's try/except behavior) is also provided.
 from __future__ import annotations
 
 import os
-from functools import partial
-from typing import Dict, Iterable, List, Optional, Sequence, Tuple
+from typing import Dict, Iterable, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import BoundaryConditions, CaseConfig
 from ..io.hdf5 import save_fields_hdf5
 from ..parallel.mesh import batch_sharding, make_mesh
 from ..solver.cases import make_cavity_solver

@@ -15,7 +15,7 @@ from __future__ import annotations
 import time
 from dataclasses import dataclass, field
 from functools import partial
-from typing import Dict, Iterable, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -25,7 +25,7 @@ from jax.sharding import Mesh
 
 from ..models import standardize as stz
 from ..models.autoencoder import LATENT_DIM, SuperResolutionAE
-from ..parallel.mesh import batch_sharding, make_mesh, replicated
+from ..parallel.mesh import batch_sharding, replicated
 
 # Reference training config (sr-ae-conv.ipynb: EPOCHS=500, BATCH_SIZE=8,
 # LATENT_DIM=50, Adam default LR).
