@@ -22,7 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import h5py
 import numpy as np
 
-REYNOLDS = list(range(100, 801, 100))
+REYNOLDS = list(range(100, 801, 50))
 MESHES = [10, 50, 400]
 DATA_DIR = "data"
 ART_DIR = "artifacts"
@@ -51,6 +51,8 @@ def run_sweep():
         combined = os.path.join(DATA_DIR, f"simulation_result_{tag}.h5")
         for size in MESHES:
             for re in REYNOLDS:
+                if size == 50 and re % 100 != 0:
+                    continue  # 50x50 only for the original step-100 set
                 if case_done(combined, re, size):
                     print(f"[skip] {tag} Re={re} {size}x{size}", flush=True)
                     continue
@@ -58,7 +60,7 @@ def run_sweep():
                 solver = make_cavity_solver(
                     Re=float(re), nx=size, ny=size, dt=1e-3, scheme="QUICK",
                     double_lid=double_lid, dtype="float32",
-                    max_iterations=100000, chunk_size=5000,
+                    max_iterations=100000, chunk_size=2000,
                     fused_step=True, pressure_sor=1.9,
                 )
                 iters, secs = solver.solve(

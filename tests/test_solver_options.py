@@ -1,0 +1,65 @@
+"""Tests for the TPU-specific solver options: SOR, stall detection,
+plateau stopping. All must preserve the converged solution."""
+
+import numpy as np
+import pytest
+
+from sr_for_cfd_tpu.solver.cases import make_cavity_solver
+
+
+def _solve(**kw):
+    solver = make_cavity_solver(
+        Re=100, nx=16, ny=16, dt=2e-3, scheme="UPWIND", chunk_size=1000,
+        max_iterations=60000, **kw,
+    )
+    it, _ = solver.solve("/tmp/opt_test", verbose=False, save_results=False)
+    return solver, it
+
+
+def test_sor_same_fixed_point():
+    """SOR accelerates the pressure solve but converges to the same steady
+    state (f64 so the outer criteria are reachable)."""
+    base, it_base = _solve(dtype="float64", pressure_sor=1.0)
+    sor, it_sor = _solve(dtype="float64", pressure_sor=1.9)
+    np.testing.assert_allclose(
+        np.asarray(sor.state.u), np.asarray(base.state.u), atol=2e-5
+    )
+    # pressure is a Neumann-only correction potential: the outer criteria
+    # bound its per-step CHANGE, not its absolute solve accuracy, and the
+    # Poisson operator amplifies the velocity tolerance by ~(N/pi)^2 - so
+    # the shape agreement tolerance is necessarily looser than velocity's
+    np.testing.assert_allclose(
+        np.asarray(sor.state.p) - float(np.asarray(sor.state.p).mean()),
+        np.asarray(base.state.p) - float(np.asarray(base.state.p).mean()),
+        atol=5e-3,
+    )
+
+
+def test_sor_clamped_on_small_grids():
+    """The requested SOR factor is clamped to the grid-optimal omega; an
+    aggressive 1.99 on a tiny grid must not destabilize the solve."""
+    solver, it = _solve(dtype="float64", pressure_sor=1.99)
+    assert np.all(np.isfinite(np.asarray(solver.state.u)))
+    assert it < 60000  # still converges
+
+
+def test_plateau_stops_f32():
+    """f32 runs plateau above the f64 criteria; plateau stopping ends them
+    early with a near-converged field."""
+    full, it_full = _solve(dtype="float32", plateau_patience=0)
+    plat, it_plat = _solve(dtype="float32", plateau_patience=4)
+    assert it_plat < it_full
+    # the plateaued field equals the long-run field to f32 working precision
+    np.testing.assert_allclose(
+        np.asarray(plat.state.u), np.asarray(full.state.u), atol=5e-4
+    )
+
+
+def test_stall_detection_not_premature_f64():
+    """In f64 the golden-path inner loops converge normally; stall exits
+    must not change the converged solution vs an unstalled long solve."""
+    a, _ = _solve(dtype="float64")
+    b, _ = _solve(dtype="float64", inner_max_iter=4000)
+    np.testing.assert_allclose(
+        np.asarray(a.state.u), np.asarray(b.state.u), atol=1e-6
+    )
