@@ -66,7 +66,8 @@ def simple_step(
     mesh, fluid, st = case.mesh, case.fluid, case.settings
     if nu is None:
         nu = fluid.nu
-    if st.fused_step and state.u.dtype == jnp.float32:
+    if (st.fused_step and state.u.dtype == jnp.float32
+            and st.pressure_solver == "sweeps"):
         return _fused_step(state, case, profile, nu)
     dx, dy, volp, dt = mesh.dx, mesh.dy, mesh.volp, st.dt
     sweep_kw = dict(
@@ -95,7 +96,14 @@ def simple_step(
 
     # -- pressure ------------------------------------------------------
     ff = face_fluxes(u, v, dx, dy)
-    if st.use_pallas and p.dtype == jnp.float32:
+    if st.pressure_solver == "multigrid":
+        from ..ops.multigrid import mg_solve_pressure
+
+        p = mg_solve_pressure(
+            p, ff, dx=dx, dy=dy, dt=dt, rho=fluid.rho, volp=volp,
+            tol=st.inner_tolerance,
+        )
+    elif st.use_pallas and p.dtype == jnp.float32:
         # fused single-launch VMEM-resident kernel (~12x faster per sweep
         # than the XLA while_loop lowering; see ops/pallas_kernels.py)
         from ..ops.pallas_kernels import pallas_solve_pressure

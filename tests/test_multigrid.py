@@ -1,0 +1,50 @@
+"""Multigrid pressure solver tests: linear-system agreement with the
+point-iteration solver, and end-to-end golden parity."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sr_for_cfd_tpu.ops.multigrid import mg_solve_pressure
+from sr_for_cfd_tpu.ops.stencil import face_fluxes
+from sr_for_cfd_tpu.ops.sweeps import solve_pressure
+
+
+@pytest.mark.parametrize("n", [32, 100])
+def test_mg_matches_converged_point_iteration(n, rng):
+    """Both solvers target the same frozen-ghost linear system; at tight
+    tolerance their solutions must agree."""
+    u = jnp.asarray(rng.standard_normal((n + 2, n + 2)) * 0.1)
+    v = jnp.asarray(rng.standard_normal((n + 2, n + 2)) * 0.1)
+    p0 = jnp.asarray(rng.standard_normal((n + 2, n + 2)) * 0.01)
+    dx = dy = 1.0 / n
+    kw = dict(dx=dx, dy=dy, dt=1e-3, rho=1.0, volp=dx * dy, tol=1e-9)
+    ff = face_fluxes(u, v, dx, dy)
+    ref = solve_pressure(p0, ff, inner_scheme="redblack", check_every=8,
+                         max_iter=300000, **kw)
+    mg = mg_solve_pressure(p0, ff, max_cycles=60, **kw)
+    scale = float(jnp.abs(ref).max())
+    np.testing.assert_allclose(
+        np.asarray(mg), np.asarray(ref), atol=2e-5 * scale
+    )
+    # ghost ring untouched
+    np.testing.assert_array_equal(np.asarray(mg)[0, :], np.asarray(p0)[0, :])
+
+
+@pytest.mark.slow
+def test_bfs_golden_with_multigrid(tmp_path):
+    """The BFS Re=400 golden centerline is reproduced with the multigrid
+    pressure solver (same converged state, different inner trajectory)."""
+    from sr_for_cfd_tpu.solver.cases import make_bfs_solver
+    from tests_golden_values import GOLDEN_U, GOLDEN_V  # noqa: F401
+
+    solver = make_bfs_solver(
+        nx=10, ny=10, dt=2e-3, scheme="UPWIND", dtype="float64",
+        chunk_size=2000, pressure_solver="multigrid",
+    )
+    iterations, _ = solver.solve(
+        str(tmp_path / "bfs_mg"), verbose=False, save_results=False
+    )
+    var = solver.Var
+    np.testing.assert_allclose(var[0, 5, 1:-1], GOLDEN_U, atol=5e-5)
+    np.testing.assert_allclose(var[1, 1:-1, 5], GOLDEN_V, atol=5e-5)

@@ -16,16 +16,9 @@ from sr_for_cfd_tpu.solver.cases import make_bfs_solver, make_cavity_solver
 
 REFERENCE_CENTERLINE = "/root/reference/outputs/bfs_Re400_centerline.dat"
 
-# Golden values transcribed from outputs/bfs_Re400_centerline.dat (also kept
-# inline so the test runs without the reference checkout).
-GOLDEN_U = np.array(
-    [-0.237831, 0.109549, 0.433739, 0.773114, 1.083311,
-     1.276518, 1.293460, 1.106460, 0.714866, 0.139942]
-)
-GOLDEN_V = np.array(
-    [-0.010094, -0.035309, -0.083102, -0.136524, -0.144959,
-     -0.121064, -0.088111, -0.054283, -0.040627, -0.020261]
-)
+# Golden values transcribed from outputs/bfs_Re400_centerline.dat (kept in
+# tests_golden_values.py so other tests can reuse them).
+from tests_golden_values import GOLDEN_U, GOLDEN_V
 
 
 @pytest.mark.slow
