@@ -35,8 +35,8 @@ def run(name, **kw):
     r = run_hybrid_experiment(
         stats_file=STATS if os.path.exists(STATS) else None,
         model_file=MODEL if os.path.exists(MODEL) else None,
-        verbose=False, dtype="float32", chunk_size=2000, fused_step=True,
-        pressure_sor=1.9, plateau_patience=5, **kw,
+        verbose=False, dtype="float32", chunk_size=2000,
+        pressure_solver="multigrid", plateau_patience=5, **kw,
     )
     hybrid = r["coarse_time"] + r["ml_time"]
     ref_s = r["normal_iterations"] / REF_CPU
