@@ -36,7 +36,12 @@ def run(name, **kw):
         stats_file=STATS if os.path.exists(STATS) else None,
         model_file=MODEL if os.path.exists(MODEL) else None,
         verbose=False, dtype="float32", chunk_size=2000,
-        pressure_solver="multigrid", plateau_patience=5, **kw,
+        pressure_solver="multigrid", plateau_patience=5,
+        # the tiny coarse grid is cheapest on the fused point-iteration
+        # kernel; multigrid's per-level overhead only pays off on fine grids
+        coarse_overrides={"pressure_solver": "sweeps", "fused_step": True,
+                          "pressure_sor": 1.9},
+        **kw,
     )
     hybrid = r["coarse_time"] + r["ml_time"]
     ref_s = r["normal_iterations"] / REF_CPU

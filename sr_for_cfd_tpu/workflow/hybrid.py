@@ -252,6 +252,7 @@ def run_hybrid_experiment(
     output_dir: Optional[str] = None,
     verbose: bool = True,
     save_results: bool = True,
+    coarse_overrides: Optional[Dict] = None,
     **kw,
 ) -> Dict:
     """The full experiment driver (reference `__main__`,
@@ -265,10 +266,14 @@ def run_hybrid_experiment(
     lx, ly = (10.0, 3.0) if is_bfs else (1.0, 1.0)
     prefix = "bfs" if is_bfs else "cavity"
 
+    # solver choices can differ per phase: e.g. the fused point-iteration
+    # kernel wins on the tiny coarse grid, multigrid wins on the fine grid
+    coarse_kw = dict(kw)
+    coarse_kw.update(coarse_overrides or {})
     coarse_fields, _, coarse_iters, coarse_time = run_coarse_simulation(
         Re, lr_dim=lr_dim, dt=dt, scheme=scheme,
         max_iterations=max_iterations_coarse, output_dir=output_dir, bc=bc,
-        case=case, verbose=verbose, save_results=save_results, **kw,
+        case=case, verbose=verbose, save_results=save_results, **coarse_kw,
     )
 
     ml_name = os.path.join(
