@@ -33,6 +33,13 @@ def _solver_args(p: argparse.ArgumentParser, dt: float, scheme: str):
                    help="fused Pallas outer-step kernel (f32, TPU)")
     p.add_argument("--sor", type=float, default=1.0,
                    help="pressure SOR factor (1.0 = reference semantics)")
+    p.add_argument("--pressure-solver", choices=["sweeps", "multigrid"],
+                   default="sweeps",
+                   help="'multigrid' solves each step's pressure system to "
+                        "tolerance (fastest on fine grids)")
+    p.add_argument("--plateau", type=int, default=0, metavar="N",
+                   help="stop when residuals plateau for N chunks "
+                        "(working-precision convergence for float32)")
     p.add_argument("--out", default=None, help="output base name / directory")
     p.add_argument("--quiet", action="store_true")
 
@@ -42,6 +49,8 @@ def _common_kw(args):
         dt=args.dt, scheme=args.scheme, max_iterations=args.max_iterations,
         dtype=args.dtype, chunk_size=args.chunk_size,
         fused_step=args.fused, pressure_sor=args.sor,
+        pressure_solver=args.pressure_solver,
+        plateau_patience=args.plateau,
     )
 
 
@@ -86,7 +95,8 @@ def cmd_hybrid(args):
         output_dir=args.out, verbose=not args.quiet,
         dt=args.dt, scheme=args.scheme, dtype=args.dtype,
         chunk_size=args.chunk_size, fused_step=args.fused,
-        pressure_sor=args.sor,
+        pressure_sor=args.sor, pressure_solver=args.pressure_solver,
+        plateau_patience=args.plateau,
     )
     results.pop("hr_fields")
     print(json.dumps(results, indent=2, default=str))
