@@ -162,8 +162,21 @@ def cmd_train(args):
 
 
 def cmd_bench(args):
-    import bench
+    import importlib.util
+    import os
 
+    # bench.py lives at the repo root (driver contract), outside the
+    # installed package; fall back to it by path
+    try:
+        import bench
+    except ModuleNotFoundError:
+        path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "bench.py",
+        )
+        spec = importlib.util.spec_from_file_location("bench", path)
+        bench = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(bench)
     bench.main()
 
 

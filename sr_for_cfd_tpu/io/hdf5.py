@@ -85,13 +85,19 @@ def load_paired_reynolds_multi(
             keys = list(f.keys())
             if not keys:
                 continue
+            def parse_re(k):
+                try:
+                    return float(k.split("_")[0][2:])
+                except ValueError:
+                    return None
+
             re_numbers = sorted(
-                {int(k.split("_")[0][2:]) for k in keys if k.startswith("Re")}
+                {parse_re(k) for k in keys if k.startswith("Re")} - {None}
             )
             bc_type = f[keys[0]].attrs.get("bc_type", "unknown")
             for re in re_numbers:
-                g_lr = f"Re{re}_mesh{lr_dim}x{lr_dim}"
-                g_hr = f"Re{re}_mesh{hr_dim}x{hr_dim}"
+                g_lr = f"Re{fmt_re(re)}_mesh{lr_dim}x{lr_dim}"
+                g_hr = f"Re{fmt_re(re)}_mesh{hr_dim}x{hr_dim}"
                 if g_lr in keys and g_hr in keys:
                     for comp in ("u", "v", "p"):
                         if comp in f[g_lr] and comp in f[g_hr]:

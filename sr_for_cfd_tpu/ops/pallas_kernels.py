@@ -138,10 +138,9 @@ def pallas_solve_pressure(
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Drop-in replacement for `sweeps.solve_pressure` (f32, red-black)."""
-    import math as _math
+    from .sweeps import optimal_sor
 
-    n_min = min(p.shape[0] - 2, p.shape[1] - 2)
-    sor = min(sor, 2.0 / (1.0 + _math.sin(_math.pi / max(2, n_min))))
+    sor = min(sor, optimal_sor(p.shape[0] - 2, p.shape[1] - 2))
     b_int = (rho / dt) * ff.divergence_sum()
     b = jnp.zeros(p.shape, p.dtype).at[1:-1, 1:-1].set(b_int)
     kernel = functools.partial(

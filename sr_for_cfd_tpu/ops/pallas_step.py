@@ -77,12 +77,11 @@ def make_step_kernel(case: CaseConfig, has_bfs: bool):
     max_iter = st.inner_max_iter
     m_check = max(1, st.momentum_check_every)
     p_check = max(1, st.pressure_check_every)
-    # clamp SOR to the grid's optimal omega = 2/(1+sin(pi/N)): values above
-    # it slow red-black convergence (badly mismatched on small grids)
-    import math as _math
+    # clamp SOR to the grid's optimal omega (shared helper; values above it
+    # slow red-black convergence, badly so on small grids)
+    from .sweeps import optimal_sor
 
-    sor_opt = 2.0 / (1.0 + _math.sin(_math.pi / max(2, min(nx, ny))))
-    sor = min(st.pressure_sor, sor_opt)
+    sor = min(st.pressure_sor, optimal_sor(nx, ny))
     alpha = {k: st.relax(k) for k in ("u", "v", "p")}
     quick = st.scheme == QUICK
 

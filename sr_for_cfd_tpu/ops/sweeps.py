@@ -38,6 +38,15 @@ from .stencil import FaceFluxes, diffusion, quick_convection, upwind_convection
 ResidualFn = Callable[[jnp.ndarray], Tuple[jnp.ndarray, jnp.ndarray]]
 
 
+def optimal_sor(nx: int, ny: int) -> float:
+    """Grid-optimal red-black SOR factor 2/(1 + sin(pi/N)); requested
+    factors are clamped to this (over-relaxing beyond it slows or
+    destabilizes the sweep, badly so on small grids)."""
+    import math
+
+    return 2.0 / (1.0 + math.sin(math.pi / max(2, min(nx, ny))))
+
+
 def checkerboard(nx: int, ny: int) -> np.ndarray:
     """Static red mask over the interior (True = red = even i+j parity,
     counting interior indices from 1 as the reference does)."""
@@ -214,11 +223,10 @@ def solve_pressure(
     """Pressure-Poisson solve (reference `solve_pressure`,
     `LDV PyCFD given by sir.py:561-583`). The RHS (face-flux divergence) is
     frozen for the whole inner solve, as in the reference."""
-    import math as _math
-
     nx, ny = p.shape[0] - 2, p.shape[1] - 2
-    # clamp SOR to the grid-optimal omega (see pallas_step.make_step_kernel)
-    sor = min(sor, 2.0 / (1.0 + _math.sin(_math.pi / max(2, min(nx, ny)))))
+    # red-black tolerates omega up to the grid-optimal value; Jacobi
+    # diverges for any omega > 1
+    sor = min(sor, 1.0 if inner_scheme == "jacobi" else optimal_sor(nx, ny))
     div_sum = ff.divergence_sum()
     fn = partial(
         pressure_residual, div_sum=div_sum, dx=dx, dy=dy, dt=dt, rho=rho,

@@ -95,6 +95,7 @@ def make_bfs_solver(
     step_height: float = 1.0,
     h: float = 2.0,
     Ub: float = 1.0,
+    bc: Optional[BoundaryConditions] = None,
     **settings_kw,
 ) -> CFDSolver:
     """Build a backward-facing-step solver (reference `create_bfs_case`,
@@ -113,7 +114,8 @@ def make_bfs_solver(
         max_iterations=max_iterations,
         **settings_kw,
     )
-    bc = BoundaryConditions.bfs()
+    if bc is None:
+        bc = BoundaryConditions.bfs()
     geom = BFSGeometry(step_height=step_height, h=h, Ub=Ub)
     return CFDSolver(
         mesh, fluid, settings, bc, bfs=geom,

@@ -23,6 +23,7 @@ SURVEY.md section 0).
 from __future__ import annotations
 
 import dataclasses
+import itertools
 from functools import partial
 from typing import Dict, Optional
 
@@ -39,6 +40,13 @@ from ..models.standardize import (
 )
 
 
+_model_counter = itertools.count()
+# (model.cache_key, static config) -> jitted SR core; models are few and
+# long-lived, so this stays tiny while letting repeated SR calls reuse the
+# compiled pipeline instead of re-tracing per call
+_CORE_CACHE: Dict = {}
+
+
 @dataclasses.dataclass
 class SRModel:
     """A bundled apply-function + params for LR->HR prediction of a single
@@ -48,6 +56,7 @@ class SRModel:
     hr_dim: int
     params: Dict
     module: SuperResolutionAE
+    cache_key: int = dataclasses.field(default_factory=lambda: next(_model_counter))
 
     @classmethod
     def create(cls, lr_dim: int, hr_dim: int, params: Optional[Dict] = None,
@@ -68,6 +77,38 @@ class SRModel:
         params = load_params(path, model.params)
         return dataclasses.replace(model, params=params)
 
+    @classmethod
+    def from_parts(cls, encoder_file: str, decoder_file: str,
+                   lr_dim: int, hr_dim: int,
+                   latent_dim: int = LATENT_DIM) -> "SRModel":
+        """Assemble from split encoder/decoder checkpoints - the
+        reference's artifact convention (`PyCFD_ML_accelerated.py:831-833`).
+        .msgpack parts are our exports; a .h5 encoder is a reference Keras
+        checkpoint (importable; reference decoders were stripped from the
+        snapshot, so .h5 decoders are not supported)."""
+        from ..io.checkpoint import load_params
+
+        model = cls.create(lr_dim, hr_dim, latent_dim=latent_dim)
+        params = dict(model.params["params"])
+        if encoder_file.endswith(".h5"):
+            from ..models.keras_import import load_keras_encoder_params
+
+            params["encoder_lr"] = load_keras_encoder_params(encoder_file)["params"]
+        else:
+            params["encoder_lr"] = load_params(
+                encoder_file, {"params": params["encoder_lr"]}
+            )["params"]
+        if decoder_file.endswith(".h5"):
+            raise NotImplementedError(
+                "Keras .h5 decoder import is not supported (ConvTranspose "
+                "weight semantics differ; the reference snapshot ships no "
+                "decoder weights anyway - retrain via `srcfd train`)"
+            )
+        params["decoder_hr"] = load_params(
+            decoder_file, {"params": params["decoder_hr"]}
+        )["params"]
+        return dataclasses.replace(model, params={"params": params})
+
     def predict(self, x: jnp.ndarray) -> jnp.ndarray:
         return self.module.apply(self.params, x)
 
@@ -79,6 +120,7 @@ class BicubicSR:
     def __init__(self, lr_dim: int, hr_dim: int):
         self.lr_dim, self.hr_dim = lr_dim, hr_dim
         self.params = None
+        self.cache_key = next(_model_counter)
 
     def predict(self, x: jnp.ndarray) -> jnp.ndarray:
         n = x.shape[0]
@@ -120,7 +162,9 @@ def _sr_core(
     x_norm = (x - mean_lr[:, None, None]) / std_lr[:, None, None]
     pred = predict_fn(x_norm[..., None])[..., 0]  # (3, hr, hr)
     pred = pred * std_hr[:, None, None] + mean_hr[:, None, None]
-    if aspect_correct:
+    if pred.shape[1:] != tuple(out_shape):
+        # rectangular fine grids: resample the square model output to the
+        # requested (ny, nx) regardless of the aspect-correction mode
         pred = resize_cubic(pred, (3,) + tuple(out_shape))
     # NaN/Inf scrub (reference replaces with zeros to protect the solver,
     # `PyCFD_ML_accelerated.py:869-876`)
@@ -187,17 +231,23 @@ def ml_super_resolution(
     mean_hr = jnp.asarray([stats_hr[c][0] for c in COMPONENTS], jnp.float32)
     std_hr = jnp.asarray([stats_hr[c][1] for c in COMPONENTS], jnp.float32)
 
-    core = partial(
-        _sr_core,
-        predict_fn=model.predict,
-        lr_dim=lr_dim,
-        hr_dim=hr_dim,
-        out_shape=tuple(out_shape),
-        aspect_correct=aspect and aspect_mode != "extrapolate",
-        blend_factor=blend_factor,
-        adaptive=use_adaptive_normalization,
+    static = (
+        getattr(model, "cache_key", id(model)), lr_dim, hr_dim,
+        tuple(out_shape), aspect and aspect_mode != "extrapolate",
+        blend_factor, use_adaptive_normalization,
     )
-    pred = jax.jit(core)(jnp.asarray(src), mean_lr, std_lr, mean_hr, std_hr)
+    if static not in _CORE_CACHE:
+        _CORE_CACHE[static] = jax.jit(partial(
+            _sr_core,
+            predict_fn=model.predict,
+            lr_dim=lr_dim,
+            hr_dim=hr_dim,
+            out_shape=tuple(out_shape),
+            aspect_correct=aspect and aspect_mode != "extrapolate",
+            blend_factor=blend_factor,
+            adaptive=use_adaptive_normalization,
+        ))
+    pred = _CORE_CACHE[static](jnp.asarray(src), mean_lr, std_lr, mean_hr, std_hr)
     pred = np.asarray(pred)
 
     hr_fields = {c: pred[i] for i, c in enumerate(COMPONENTS)}

@@ -23,10 +23,11 @@ from ..config import MeshParameters
 def plot_centerlines(
     filename: str, var: np.ndarray, mesh: MeshParameters, re: float
 ) -> None:
-    u_center = np.asarray(var[0, mesh.nx // 2, 1:-1])
-    v_center = np.asarray(var[1, 1:-1, mesh.ny // 2])
-    y = np.linspace(0, mesh.ly, mesh.ny)
-    x = np.linspace(0, mesh.lx, mesh.nx)
+    from ..io.datfiles import extract_centerlines
+
+    cl = extract_centerlines(var, mesh)
+    u_center, v_center = cl["u_centerline"], cl["v_centerline"]
+    y, x = cl["y"], cl["x"]
     fig, (ax1, ax2) = plt.subplots(1, 2, figsize=(12, 5))
     ax1.plot(u_center, y, "b-", linewidth=2)
     ax1.set_xlabel("U velocity")

@@ -44,7 +44,7 @@ def _make_solver(
         return make_bfs_solver(
             Re=Re, nx=nx, ny=ny, dt=dt, scheme=scheme,
             convergence_criteria=convergence_criteria,
-            max_iterations=max_iterations, **kw,
+            max_iterations=max_iterations, bc=bc, **kw,
         )
     return make_cavity_solver(
         Re=Re, nx=nx, ny=ny, dt=dt, scheme=scheme,
@@ -205,10 +205,14 @@ def run_ml_accelerated_fine_simulation(
     if model is None:
         if model_file and os.path.exists(model_file):
             model = SRModel.from_checkpoint(model_file, lr_dim, hr_dim)
+        elif (encoder_file and decoder_file
+              and os.path.exists(encoder_file) and os.path.exists(decoder_file)):
+            # the reference's split encoder/decoder checkpoint convention
+            model = SRModel.from_parts(encoder_file, decoder_file,
+                                       lr_dim, hr_dim)
         else:
-            if model_file and verbose:
-                print(f"  model checkpoint {model_file} not found -> "
-                      f"bicubic fallback")
+            if (model_file or encoder_file) and verbose:
+                print("  model checkpoint(s) not found -> bicubic fallback")
             model = BicubicSR(lr_dim, hr_dim)
 
     hr_fields = ml_super_resolution(

@@ -120,3 +120,48 @@ def test_resample_roundtrip_interior():
     sq = rect_to_square({"u": f, "v": f, "p": f}, 10.0, 3.0)
     back = square_to_rect(sq, 10.0, 3.0)
     np.testing.assert_allclose(back["u"], f, atol=2e-2)
+
+
+def test_srmodel_from_parts(tmp_path, rng):
+    """Split encoder/decoder checkpoints (the reference's convention)
+    reassemble into the combined model bit-exactly."""
+    from sr_for_cfd_tpu.io.checkpoint import save_params
+
+    model = SRModel.create(10, 20, rng_seed=3)
+    params = model.params["params"]
+    enc_p = str(tmp_path / "enc.msgpack")
+    dec_p = str(tmp_path / "dec.msgpack")
+    save_params(enc_p, {"params": params["encoder_lr"]})
+    save_params(dec_p, {"params": params["decoder_hr"]})
+    rebuilt = SRModel.from_parts(enc_p, dec_p, 10, 20)
+    x = np.asarray(rng.standard_normal((1, 10, 10, 1)), np.float32)
+    np.testing.assert_allclose(
+        np.asarray(rebuilt.predict(x)), np.asarray(model.predict(x)), atol=1e-6
+    )
+
+
+def test_loader_fractional_reynolds(tmp_path, rng):
+    """Non-integer Re group names (written by our own fmt_re) load cleanly."""
+    from sr_for_cfd_tpu.config import MeshParameters
+    from sr_for_cfd_tpu.io.hdf5 import load_paired_reynolds_multi, save_fields_hdf5
+
+    path = str(tmp_path / "frac.h5")
+    for size in (10, 20):
+        mesh = MeshParameters(nx=size, ny=size)
+        fields = {c: rng.standard_normal((size, size)).astype(np.float32)
+                  for c in "uvp"}
+        save_fields_hdf5(path, fields, mesh, 412.5, bc_type="frac")
+    x_lr, x_hr, res, comps, bcs = load_paired_reynolds_multi([path], 10, 20)
+    assert len(x_lr) == 3
+    assert res[0] == 412.5
+
+
+def test_out_shape_without_aspect_correction(rng):
+    """Rectangular fine targets are honored even with aspect correction off
+    (regression: warm_start crashed on (hr,hr) fields for ny != nx)."""
+    coarse = {c: rng.standard_normal((10, 10)).astype(np.float32) for c in "uvp"}
+    hr = ml_super_resolution(
+        coarse, 10, 20, stats=_make_stats(10, 20), model=BicubicSR(10, 20),
+        out_shape=(14, 20), verbose=False,
+    )
+    assert hr["u"].shape == (14, 20)
