@@ -89,3 +89,42 @@ def test_dp_training_step_on_mesh(rng):
     )
     assert result.loss_history[-1] < result.loss_history[0]
     assert np.all(np.isfinite(result.loss_history))
+
+
+def test_shardmap_halo_pressure_matches_single_device(rng):
+    """The explicit shard_map + ppermute halo-exchange pressure solve
+    matches the single-device red-black solve to f64 rounding."""
+    import jax.numpy as jnp
+
+    from sr_for_cfd_tpu.ops.stencil import face_fluxes
+    from sr_for_cfd_tpu.ops.sweeps import solve_pressure
+    from sr_for_cfd_tpu.parallel.halo import shardmap_solve_pressure
+
+    n = 32  # divides over 8 devices
+    u = jnp.asarray(rng.standard_normal((n + 2, n + 2)) * 0.1)
+    v = jnp.asarray(rng.standard_normal((n + 2, n + 2)) * 0.1)
+    p0 = jnp.asarray(rng.standard_normal((n + 2, n + 2)) * 0.01)
+    dx = dy = 1.0 / n
+    kw = dict(dx=dx, dy=dy, dt=1e-3, rho=1.0, volp=dx * dy, tol=1e-7,
+              max_iter=3000)
+    ff = face_fluxes(u, v, dx, dy)
+    ref = solve_pressure(p0, ff, inner_scheme="redblack", check_every=1, **kw)
+    mesh = make_mesh(8, "x")
+    got = shardmap_solve_pressure(p0, ff, mesh, **kw)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-9)
+    # frozen ghost ring untouched
+    np.testing.assert_array_equal(np.asarray(got)[0, :], np.asarray(p0)[0, :])
+
+
+def test_shardmap_halo_rejects_uneven_rows(rng):
+    import jax.numpy as jnp
+
+    from sr_for_cfd_tpu.ops.stencil import face_fluxes
+    from sr_for_cfd_tpu.parallel.halo import shardmap_solve_pressure
+
+    n = 30
+    p0 = jnp.zeros((n + 2, n + 2))
+    ff = face_fluxes(p0, p0, 1.0 / n, 1.0 / n)
+    with pytest.raises(ValueError, match="divide"):
+        shardmap_solve_pressure(p0, ff, make_mesh(8, "x"), dx=1/n, dy=1/n,
+                                dt=1e-3, rho=1.0, volp=1/n**2)
