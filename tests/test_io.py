@@ -117,3 +117,27 @@ def test_naming_conventions():
         "standardization_stats_10to400_swish_trained_upto_700.txt"
     )
     assert "vanilla_decoder400_from_10" in files["decoder_file"]
+
+
+def test_native_dat_writer_byte_parity(tmp_path, rng):
+    """The C++ fast writer produces byte-identical .dat output to the
+    Python formatter, and the fallback engages cleanly when unavailable."""
+    from sr_for_cfd_tpu.io import native_io
+
+    mesh = MeshParameters(nx=12, ny=9)
+    var = rng.standard_normal((3, 14, 11))
+    p_native = str(tmp_path / "n.dat")
+    p_python = str(tmp_path / "p.dat")
+    datfiles.save_full_field(p_native, var, mesh, 250, 1e-3)
+    used_native = native_io._load() is not None
+    # force the Python path
+    saved = (native_io._failed, native_io._lib)
+    native_io._failed, native_io._lib = True, None
+    try:
+        datfiles.save_full_field(p_python, var, mesh, 250, 1e-3)
+    finally:
+        native_io._failed, native_io._lib = saved
+    with open(p_native, "rb") as a, open(p_python, "rb") as b:
+        assert a.read() == b.read()
+    if not used_native:
+        pytest.skip("no C++ toolchain; exercised fallback only")
