@@ -1,0 +1,38 @@
+"""Round-trip: Flax-trained weights -> Keras .h5 -> TF prediction matches
+the Flax model (requires tensorflow; skipped otherwise)."""
+
+import numpy as np
+import pytest
+
+
+@pytest.mark.slow
+def test_export_roundtrip_matches_flax(tmp_path, rng):
+    tf = pytest.importorskip("tensorflow")
+    import jax
+    import jax.numpy as jnp
+
+    from sr_for_cfd_tpu.models.keras_export import export_superres_h5
+    from sr_for_cfd_tpu.sr.inference import SRModel
+
+    model = SRModel.create(10, 20, rng_seed=7)
+    enc_p = str(tmp_path / "vanilla_encoder10_to_20_t.h5")
+    dec_p = str(tmp_path / "vanilla_decoder20_from_10_t.h5")
+    export_superres_h5(model.params, 10, 20, enc_p, dec_p)
+
+    x = rng.standard_normal((2, 10, 10, 1)).astype(np.float32)
+    y_flax = np.asarray(model.predict(jnp.asarray(x)))
+
+    enc = tf.keras.models.load_model(enc_p, compile=False)
+    dec = tf.keras.models.load_model(dec_p, compile=False)
+    y_tf = dec.predict(enc.predict(x, verbose=0), verbose=0)
+    np.testing.assert_allclose(y_tf, y_flax, atol=1e-4)
+
+    # and the exported encoder re-imports through our own Keras importer
+    from sr_for_cfd_tpu.models.autoencoder import build_encoder
+    from sr_for_cfd_tpu.models.keras_import import load_keras_encoder_params
+
+    variables = load_keras_encoder_params(enc_p)
+    z = np.asarray(build_encoder(10).apply(variables, jnp.asarray(x)))
+    z_flax = np.asarray(model.module.apply(model.params, jnp.asarray(x),
+                                           method="encode"))
+    np.testing.assert_allclose(z, z_flax, atol=1e-5)
