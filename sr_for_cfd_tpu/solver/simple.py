@@ -342,12 +342,25 @@ class CFDSolver:
         verbose: bool = True,
         log_convergence: bool = False,
         save_results: bool = True,
+        snapshot_every: int = 0,
+        profile_dir: Optional[str] = None,
     ) -> Tuple[int, float]:
         """Run to convergence or max_iterations. Returns
         (iterations, elapsed_seconds) like the reference
-        (`LDV PyCFD given by sir.py:139-169`)."""
+        (`LDV PyCFD given by sir.py:139-169`).
+
+        `snapshot_every` > 0 writes a restartable SolverState snapshot
+        (`{output_base_name}_snapshot.npz`) every N iterations - the
+        periodic-checkpoint upgrade of the reference's save-at-end-only
+        persistence (SURVEY.md section 5.4); restore with
+        `io.checkpoint.load_solver_fields` + `warm_start`.
+        `profile_dir` captures a jax.profiler trace of the solve.
+        """
         st = self.case.settings
+        if profile_dir:
+            jax.profiler.start_trace(profile_dir)
         start = time.time()
+        last_snapshot = 0
         log_file = None
         if log_convergence:
             log_path = f"{output_base_name}_convergence.log"
@@ -393,6 +406,13 @@ class CFDSolver:
                         f"RMS = {rms.tolist()} (NaN/Inf detected). "
                         f"Try a smaller dt or stronger under-relaxation."
                     )
+                if snapshot_every and count - last_snapshot >= snapshot_every:
+                    from ..io.checkpoint import save_solver_state
+
+                    save_solver_state(
+                        f"{output_base_name}_snapshot.npz", self.state
+                    )
+                    last_snapshot = count
                 if bool(self.state.converged) or count >= st.max_iterations:
                     break
                 # plateau stopping: residuals stopped improving (working-
@@ -414,6 +434,8 @@ class CFDSolver:
         finally:
             if log_file:
                 log_file.close()
+            if profile_dir:
+                jax.profiler.stop_trace()
 
         elapsed = time.time() - start
         if verbose:

@@ -141,3 +141,30 @@ def test_native_dat_writer_byte_parity(tmp_path, rng):
         assert a.read() == b.read()
     if not used_native:
         pytest.skip("no C++ toolchain; exercised fallback only")
+
+
+def test_periodic_snapshots_resume(tmp_path):
+    """snapshot_every writes restartable state mid-solve; resuming from it
+    reaches the same solution (SURVEY 5.4 periodic checkpointing)."""
+    from sr_for_cfd_tpu.solver.cases import make_cavity_solver
+
+    base = str(tmp_path / "run")
+    solver = make_cavity_solver(Re=100, nx=12, ny=12, dt=2e-3, dtype="float64",
+                                chunk_size=200, max_iterations=1000)
+    solver.solve(base, verbose=False, save_results=False, snapshot_every=400)
+    snap = base + "_snapshot.npz"
+    import os
+
+    assert os.path.exists(snap)
+    fields = load_solver_fields(snap)
+    resumed = make_cavity_solver(Re=100, nx=12, ny=12, dt=2e-3,
+                                 dtype="float64", chunk_size=1000)
+    resumed.warm_start(fields)
+    it, _ = resumed.solve(str(tmp_path / "r"), verbose=False,
+                          save_results=False)
+    final = make_cavity_solver(Re=100, nx=12, ny=12, dt=2e-3, dtype="float64",
+                               chunk_size=1000)
+    final.solve(str(tmp_path / "f"), verbose=False, save_results=False)
+    np.testing.assert_allclose(
+        np.asarray(resumed.state.u), np.asarray(final.state.u), atol=1e-6
+    )
