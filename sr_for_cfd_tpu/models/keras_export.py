@@ -33,11 +33,14 @@ def _keras_encoder(resolution: int, latent_dim: int):
     inp = layers.Input(shape=(resolution, resolution, 1),
                        name=f"encoder_{resolution}_input")
     x = inp
-    for filters, kernel, stride in ENCODER_SPECS[resolution]:
+    # explicit layer names: Keras's global auto-naming counter would append
+    # suffixes when other models exist in the session, breaking re-import
+    for idx, (filters, kernel, stride) in enumerate(ENCODER_SPECS[resolution]):
+        lname = "conv2d" if idx == 0 else f"conv2d_{idx}"
         x = layers.Conv2D(filters, kernel, strides=stride, padding="same",
-                          activation="swish")(x)
-    x = layers.Flatten()(x)
-    x = layers.Dense(128, activation="swish")(x)
+                          activation="swish", name=lname)(x)
+    x = layers.Flatten(name="flatten")(x)
+    x = layers.Dense(128, activation="swish", name="dense")(x)
     z = layers.Dense(latent_dim, name="latent_vector")(x)
     return Model(inp, z, name=f"encoder_{resolution}")
 
@@ -49,12 +52,12 @@ def _keras_decoder(resolution: int, latent_dim: int):
     h, w, c = shape
     inp = layers.Input(shape=(latent_dim,),
                        name=f"decoder_{resolution}_input")
-    x = layers.Dense(h * w * c, activation="swish")(inp)
-    x = layers.Reshape((h, w, c))(x)
-    for filters, kernel, stride, padding in ladder:
+    x = layers.Dense(h * w * c, activation="swish", name="dense")(inp)
+    x = layers.Reshape((h, w, c), name="reshape")(x)
+    for idx, (filters, kernel, stride, padding) in enumerate(ladder):
         x = layers.Conv2DTranspose(
             filters, kernel, strides=stride, padding=padding.lower(),
-            activation="swish",
+            activation="swish", name=f"conv2d_transpose_{idx}",
         )(x)
     out = layers.Conv2D(1, 3, padding="same",
                         name=f"output_image_{resolution}")(x)
