@@ -105,3 +105,57 @@ def test_warm_start_roundtrip(tmp_path):
     np.testing.assert_allclose(
         solver2.Var[:, 1:-1, 1:-1], solver.Var[:, 1:-1, 1:-1], atol=1e-5
     )
+
+
+@pytest.mark.slow
+def test_channel_flow_custom_case(tmp_path):
+    """The reference's commented channel-flow example
+    (`LDV PyCFD given by sir.py:722-779`) through create_custom_case:
+    inlet u=1, pressure outlet, no-slip walls -> downstream flow develops
+    toward a parabolic profile."""
+    from sr_for_cfd_tpu.solver.cases import create_custom_case
+
+    solver, iterations, _ = create_custom_case(
+        mesh_params={"nx": 60, "ny": 16, "lx": 4.0, "ly": 1.0},
+        fluid_params={"Re": 100, "rho": 1.0},
+        solver_params={
+            "dt": 1e-3,
+            "scheme": "QUICK",
+            "dtype": "float64",
+            "chunk_size": 2000,
+            "max_iterations": 40000,
+            # open inflow/outflow needs under-relaxation for stability,
+            # like the BFS case
+            "relaxation_factors": {"u": 0.5, "v": 0.5, "p": 0.2},
+        },
+        bc_params={
+            "u_boundaries": {
+                "left": {"type": "dirichlet", "value": 1.0},
+                "right": {"type": "neumann", "value": 0.0},
+                "top": {"type": "dirichlet", "value": 0.0},
+                "bottom": {"type": "dirichlet", "value": 0.0},
+            },
+            "v_boundaries": {
+                "left": {"type": "dirichlet", "value": 0.0},
+                "right": {"type": "neumann", "value": 0.0},
+                "top": {"type": "dirichlet", "value": 0.0},
+                "bottom": {"type": "dirichlet", "value": 0.0},
+            },
+            "p_boundaries": {
+                "left": {"type": "neumann", "value": 0.0},
+                "right": {"type": "dirichlet", "value": 0.0},
+                "top": {"type": "neumann", "value": 0.0},
+                "bottom": {"type": "neumann", "value": 0.0},
+            },
+        },
+        output_name=str(tmp_path / "channel"),
+        verbose=False,
+        save_results=False,
+    )
+    var = solver.Var
+    u_outlet = var[0, -2, 1:-1]  # last interior column
+    # developed channel flow: centerline fastest, ~1.5x bulk, walls slow
+    assert u_outlet[8] > u_outlet[1] > 0
+    assert 1.2 < u_outlet.max() < 1.7
+    # mass conservation: outlet flux ~ inlet flux
+    assert abs(u_outlet.mean() - 1.0) < 0.05
