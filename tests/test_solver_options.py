@@ -63,3 +63,42 @@ def test_stall_detection_not_premature_f64():
     np.testing.assert_allclose(
         np.asarray(a.state.u), np.asarray(b.state.u), atol=1e-6
     )
+
+
+def test_run_to_convergence_single_dispatch():
+    """The single-while_loop full-solve entry point (used for benches and
+    batched sweeps) matches the chunked driver."""
+    import jax
+
+    from sr_for_cfd_tpu.solver.simple import run_to_convergence
+    from sr_for_cfd_tpu.solver.state import init_state, inlet_profile
+
+    solver, it_chunked = _solve(dtype="float64")
+    case = solver.case
+    state = jax.jit(
+        lambda s, prof: run_to_convergence(s, prof, case)
+    )(init_state(case), inlet_profile(case))
+    assert int(state.count) == it_chunked
+    np.testing.assert_allclose(
+        np.asarray(state.u), np.asarray(solver.state.u), atol=1e-12
+    )
+
+
+def test_format_bc_summary():
+    from sr_for_cfd_tpu.config import BoundaryConditions
+    from sr_for_cfd_tpu.viz.plots import format_bc_summary
+
+    s = format_bc_summary(BoundaryConditions.lid_driven_cavity())
+    assert "U:" in s and "top=D(1)" in s and "P:" in s and "N(0)" in s
+
+
+def test_step_timer():
+    from sr_for_cfd_tpu.utils.timing import StepTimer
+
+    t = StepTimer()
+    with t.phase("a"):
+        pass
+    with t.phase("a"):
+        pass
+    assert t.counts["a"] == 2
+    assert "a:" in t.summary()
