@@ -128,3 +128,23 @@ def test_shardmap_halo_rejects_uneven_rows(rng):
     with pytest.raises(ValueError, match="divide"):
         shardmap_solve_pressure(p0, ff, make_mesh(8, "x"), dx=1/n, dy=1/n,
                                 dt=1e-3, rho=1.0, volp=1/n**2)
+
+
+def test_batched_sweep_with_multigrid(rng):
+    """Multigrid is pure jnp, so it composes with the vmapped multi-Re
+    sweep; results match a solo sweeps-based solve."""
+    from sr_for_cfd_tpu.solver.cases import make_cavity_solver
+    from sr_for_cfd_tpu.workflow.sweep import batched_cavity_solve
+
+    fields, iters = batched_cavity_solve(
+        [100, 200], 12, 12, dt=2e-3, scheme="UPWIND", double_lid=True,
+        max_iterations=15000, verbose=False, dtype="float64",
+        chunk_size=2000, pressure_solver="multigrid",
+    )
+    solo = make_cavity_solver(Re=100, nx=12, ny=12, dt=2e-3, scheme="UPWIND",
+                              double_lid=True, dtype="float64",
+                              max_iterations=15000, chunk_size=2000)
+    solo.solve("/tmp/mg_batch_t", verbose=False, save_results=False)
+    np.testing.assert_allclose(
+        fields[100.0]["u"], solo.interior_fields()["u"], atol=1e-8
+    )
