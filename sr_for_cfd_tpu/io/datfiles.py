@@ -34,20 +34,27 @@ def extract_centerlines(
 def save_full_field(
     filename: str, var: np.ndarray, mesh: MeshParameters, re: float, dt: float
 ) -> None:
-    with open(filename, "w") as f:
+    def write_header(f):
         f.write(f"# Reynolds number: {re}\n")
         f.write(f"# Mesh: {mesh.nx}x{mesh.ny}\n")
         f.write(f"# Time step: {dt}\n")
-    # bulk body: native C++ writer (~20x faster), Python fallback
+
+    with open(filename, "w") as f:
+        write_header(f)
+    # bulk body: native C++ writer (faster), Python fallback
     from .native_io import append_field_sections
 
     if append_field_sections(filename, np.asarray(var)):
         return
     nvar = var.shape[0]
     var_names = ["U", "V", "P"]
-    with open(filename, "a") as f:
+    # rewrite from scratch: a failed native attempt may have appended a
+    # partial body, so the fallback must not append after it
+    with open(filename, "w") as f:
+        write_header(f)
         for k in range(nvar):
-            f.write(f"\n# ########## {var_names[k]} velocity ############ \n")
+            name = var_names[k] if k < 3 else "?"
+            f.write(f"\n# ########## {name} velocity ############ \n")
             for i in range(mesh.nx + 2):
                 for j in range(mesh.ny + 2):
                     f.write(f"{var[k, i, j]:.6f} \t")

@@ -34,10 +34,14 @@ def _load() -> Optional[ctypes.CDLL]:
         try:
             if (not os.path.exists(_LIB)
                     or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
+                # compile to a temp path and rename atomically so a
+                # concurrent process can never dlopen a half-written .so
+                tmp = f"{_LIB}.{os.getpid()}.tmp"
                 subprocess.run(
-                    ["g++", "-O2", "-shared", "-fPIC", "-o", _LIB, _SRC],
+                    ["g++", "-O2", "-shared", "-fPIC", "-o", tmp, _SRC],
                     check=True, capture_output=True, timeout=120,
                 )
+                os.replace(tmp, _LIB)
             lib = ctypes.CDLL(_LIB)
             lib.append_field_sections.restype = ctypes.c_int
             lib.append_field_sections.argtypes = [

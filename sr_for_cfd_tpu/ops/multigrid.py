@@ -21,7 +21,6 @@ at trace time. Works in f32 and f64.
 
 from __future__ import annotations
 
-import math
 from functools import partial
 from typing import List, Tuple
 
@@ -88,20 +87,19 @@ def _v_cycle(x, b, level: int, sizes, spacings, volp_levels, masks,
         # coarsest level: solve (nearly) exactly - it's tiny
         return _smooth(x, b, inv_dx2, inv_dy2, volp, red, 40, 1.5)
     x = _smooth(x, b, inv_dx2, inv_dy2, volp, red, n_pre, sor)
-    if level + 1 < len(sizes):
-        r = b - _laplacian(x, inv_dx2, inv_dy2, volp)
-        # the volp-scaled stencil is scale-invariant across levels, so the
-        # restricted residual (a finite-volume-integrated quantity) must be
-        # scaled by the cell-agglomeration ratio (~4x per 2x coarsening)
-        nf, mf = sizes[level]
-        nc, mc = sizes[level + 1]
-        scale = (nf / nc) * (mf / mc)
-        r_c = _restrict(r, sizes[level + 1]) * scale
-        e_c = _v_cycle(
-            jnp.zeros_like(r_c), r_c, level + 1, sizes, spacings,
-            volp_levels, masks, n_pre, n_post, sor,
-        )
-        x = x + _prolong(e_c, sizes[level])
+    r = b - _laplacian(x, inv_dx2, inv_dy2, volp)
+    # the volp-scaled stencil is scale-invariant across levels, so the
+    # restricted residual (a finite-volume-integrated quantity) must be
+    # scaled by the cell-agglomeration ratio (~4x per 2x coarsening)
+    nf, mf = sizes[level]
+    nc, mc = sizes[level + 1]
+    scale = (nf / nc) * (mf / mc)
+    r_c = _restrict(r, sizes[level + 1]) * scale
+    e_c = _v_cycle(
+        jnp.zeros_like(r_c), r_c, level + 1, sizes, spacings,
+        volp_levels, masks, n_pre, n_post, sor,
+    )
+    x = x + _prolong(e_c, sizes[level])
     x = _smooth(x, b, inv_dx2, inv_dy2, volp, red, n_post, sor)
     return x
 
@@ -136,7 +134,9 @@ def mg_solve_pressure(
         dxl = dx * nx / nxl
         dyl = dy * ny / nyl
         spacings.append((1.0 / (dxl * dxl), 1.0 / (dyl * dyl)))
-        volp_levels.append(dxl * dyl)
+        # level 0 uses the caller's volp verbatim so the smoothed system is
+        # exactly the one the rms check (and solve_pressure) measures
+        volp_levels.append(volp if lvl == 0 else dxl * dyl)
         masks.append(_red_mask(nxl, nyl))
 
     # RHS: b - ghost contributions (ghosts frozen during the inner solve)

@@ -22,13 +22,17 @@ results match `ops.sweeps.solve_pressure` to reduction-order rounding.
 
 from __future__ import annotations
 
-from functools import partial
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops.stencil import FaceFluxes
+from ..ops.sweeps import optimal_sor
+
+# (mesh, static config) -> compiled shard_map solver; built once per config
+_SOLVER_CACHE: Dict[Tuple, object] = {}
 
 
 def shardmap_solve_pressure(
@@ -53,13 +57,18 @@ def shardmap_solve_pressure(
     Requires nx % n_devices == 0.
     """
     nx, ny = p.shape[0] - 2, p.shape[1] - 2
-    n_dev = mesh.devices.size
+    n_dev = mesh.shape[axis]
     if nx % n_dev != 0:
-        raise ValueError(f"nx = {nx} must divide over {n_dev} devices")
+        raise ValueError(f"nx = {nx} must divide over {n_dev} '{axis}' devices")
     rows = nx // n_dev
     inv_dx2, inv_dy2 = 1.0 / (dx * dx), 1.0 / (dy * dy)
     ap_d = -volp * (2.0 * inv_dx2 + 2.0 * inv_dy2)
     n_cells = nx * ny
+    # same clamp as solve_pressure (result compatibility)
+    sor = min(sor, optimal_sor(nx, ny))
+    # f32 floors above the absolute tolerance; same stall policy as
+    # sweeps.sweep_loop
+    stall_ratio = 0.99 if p.dtype == jnp.float32 else 0.999
     fwd = [(i, (i + 1) % n_dev) for i in range(n_dev)]
     bwd = [(i, (i - 1) % n_dev) for i in range(n_dev)]
 
@@ -115,27 +124,41 @@ def shardmap_solve_pressure(
             return x, jnp.sqrt(ss / n_cells)
 
         def body(carry):
-            x, _, it = carry
+            x, prev, stale, it = carry
             x, rms = sweep(x)
-            return x, rms, it + 1
+            improved = jnp.logical_or(rms < stall_ratio * prev, jnp.isinf(prev))
+            stale = jnp.where(improved, 0, stale + 1)
+            return x, rms, stale, it + 1
 
         def cond(carry):
-            _, rms, it = carry
-            return jnp.logical_and(it < max_iter, rms >= tol)
+            _, rms, stale, it = carry
+            stalled = jnp.logical_and(stale >= 2, it >= 4)
+            return jnp.logical_and(
+                jnp.logical_and(it < max_iter, rms >= tol),
+                jnp.logical_not(stalled),
+            )
 
         big = jnp.asarray(jnp.inf, x.dtype)
-        x, _, _ = jax.lax.while_loop(
-            cond, body, (x, big, jnp.asarray(0, jnp.int32))
+        x, _, _, _ = jax.lax.while_loop(
+            cond, body,
+            (x, big, jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32)),
         )
         return x
 
-    solve = jax.jit(
-        jax.shard_map(
-            local_solve,
-            mesh=mesh,
-            in_specs=(P(axis, None), P(axis, None), P(), P(), P(axis), P(axis)),
-            out_specs=P(axis, None),
-        )
+    cache_key = (
+        mesh, axis, nx, ny, str(p.dtype), dx, dy, dt, rho, volp, tol,
+        max_iter, sor,
     )
-    x = solve(p_int, b_int, ghost_w, ghost_e, ghost_s, ghost_n)
+    if cache_key not in _SOLVER_CACHE:
+        _SOLVER_CACHE[cache_key] = jax.jit(
+            jax.shard_map(
+                local_solve,
+                mesh=mesh,
+                in_specs=(P(axis, None), P(axis, None), P(), P(),
+                          P(axis), P(axis)),
+                out_specs=P(axis, None),
+            )
+        )
+    x = _SOLVER_CACHE[cache_key](p_int, b_int, ghost_w, ghost_e, ghost_s,
+                                 ghost_n)
     return p.at[1:-1, 1:-1].set(x)
