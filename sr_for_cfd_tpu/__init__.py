@@ -51,3 +51,20 @@ from .solver.cases import (  # noqa: F401
 )
 from .solver.simple import CFDSolver, DivergenceError  # noqa: F401
 from .solver.state import SolverState, init_state, warm_start_state  # noqa: F401
+
+
+def __getattr__(name):
+    # lazy re-exports of the heavier subsystems
+    if name == "SRModel":
+        from .sr.inference import SRModel
+
+        return SRModel
+    if name == "ml_super_resolution":
+        from .sr.inference import ml_super_resolution
+
+        return ml_super_resolution
+    if name == "run_hybrid_experiment":
+        from .workflow.hybrid import run_hybrid_experiment
+
+        return run_hybrid_experiment
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
