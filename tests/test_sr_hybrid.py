@@ -165,3 +165,24 @@ def test_out_shape_without_aspect_correction(rng):
         out_shape=(14, 20), verbose=False,
     )
     assert hr["u"].shape == (14, 20)
+
+
+@pytest.mark.slow
+def test_hybrid_coarse_overrides(tmp_path):
+    """Per-phase solver selection: coarse_overrides settings apply to the
+    coarse phase only, and the experiment still completes end-to-end."""
+    from sr_for_cfd_tpu.workflow.hybrid import run_hybrid_experiment
+
+    stats_path = str(tmp_path / "stats.txt")
+    stz.write_stats_file(stats_path, _make_stats(10, 20))
+    results = run_hybrid_experiment(
+        Re=100, lr_dim=10, hr_dim=20, dt=2e-3, scheme="UPWIND",
+        max_iterations_coarse=3000, max_iterations_ml=3000,
+        max_iterations_normal=3000,
+        stats_file=stats_path, output_dir=str(tmp_path / "run"),
+        verbose=False, save_results=False, dtype="float64",
+        chunk_size=1000, pressure_solver="multigrid",
+        coarse_overrides={"pressure_solver": "sweeps"},
+    )
+    assert results["coarse_iterations"] <= 3000
+    assert np.isfinite(results["speedup"])
