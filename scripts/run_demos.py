@@ -39,8 +39,10 @@ def run(name, **kw):
         pressure_solver="multigrid", plateau_patience=5,
         # the tiny coarse grid is cheapest on the fused point-iteration
         # kernel; multigrid's per-level overhead only pays off on fine grids
+        # big chunks: the 10x10 coarse otherwise makes ~50 host round
+        # trips whose relay latency dominates (and varies 30ms-3s here)
         coarse_overrides={"pressure_solver": "sweeps", "fused_step": True,
-                          "pressure_sor": 1.9},
+                          "pressure_sor": 1.9, "chunk_size": 25000},
         **kw,
     )
     hybrid = r["coarse_time"] + r["ml_time"]
