@@ -60,7 +60,7 @@ def run_sweep():
                 solver = make_cavity_solver(
                     Re=float(re), nx=size, ny=size, dt=1e-3, scheme="QUICK",
                     double_lid=double_lid, dtype="float32",
-                    max_iterations=100000, chunk_size=2000,
+                    max_iterations=100000, chunk_size=20000,
                     fused_step=True, pressure_sor=1.9,
                 )
                 iters, secs = solver.solve(
