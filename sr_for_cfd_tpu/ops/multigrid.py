@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from .stencil import FaceFluxes
+from .sweeps import stall_update, stalled
 
 
 def _levels(nx: int, ny: int, min_size: int = 8) -> List[Tuple[int, int]]:
@@ -161,17 +162,21 @@ def mg_solve_pressure(
         return jnp.sqrt(jnp.sum(r * r) / n_cells)
 
     def body(carry):
-        x, prev, stale, it = carry
+        x, best, stale, it = carry
         x = cycle(x, b_eff)
         rms = rms_of(x)
-        improved = jnp.logical_or(rms < 0.99 * prev, jnp.isinf(prev))
-        stale = jnp.where(improved, 0, stale + 1)
-        return x, rms, stale, it + 1
+        # unified stall policy (ops/sweeps.py); `it` doubles as the check
+        # count since rms is evaluated once per cycle. Multigrid residuals
+        # drop ~10x/cycle, so on a converging solve STALL_MIN_CHECKS extra
+        # cycles are never reached; on a stalled one they cost ~2 cycles.
+        stale, best = stall_update(rms, best, stale)
+        return x, best, stale, it + 1
 
     def cond(carry):
-        _, rms, stale, it = carry
+        x, best, stale, it = carry
         return jnp.logical_and(
-            jnp.logical_and(it < max_cycles, rms >= tol), stale < 2
+            jnp.logical_and(it < max_cycles, best >= tol),
+            jnp.logical_not(stalled(stale, it)),
         )
 
     big = jnp.asarray(jnp.inf, dtype)

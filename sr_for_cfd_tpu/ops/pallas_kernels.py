@@ -27,6 +27,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .stencil import FaceFluxes
+from .sweeps import stall_update, stalled
 
 
 def _padded_masks(shape):
@@ -94,24 +95,27 @@ def _pressure_kernel(
         return f, jnp.sqrt(ss / n_cells)
 
     def body(carry):
-        f, prev, _, it = carry
+        f, _, best, stale, checks, it = carry
         f = jax.lax.fori_loop(
             0, check_every - 1, lambda _, g: sweep(g, False)[0], f
         )
         f, rms = sweep(f, True)
-        return f, rms, prev, it + check_every
+        # unified stall policy (ops/sweeps.py): exit on the f32 precision
+        # floor, but tolerate non-monotone SOR transients
+        stale, best = stall_update(rms, best, stale)
+        return f, rms, best, stale, checks + 1, it + check_every
 
     def cond(carry):
-        _, rms, prev, it = carry
-        # exit on stall (f32 precision floor) as well as tol/cap
-        improving = jnp.logical_or(rms < 0.999 * prev, jnp.isinf(prev))
+        _, rms, _, stale, checks, it = carry
         return jnp.logical_and(
-            jnp.logical_and(it < max_iter, rms >= tol32), improving
+            jnp.logical_and(it < max_iter, rms >= tol32),
+            jnp.logical_not(stalled(stale, checks)),
         )
 
     big = jnp.asarray(jnp.inf, p.dtype)
-    init = (p, big, big, jnp.asarray(0, jnp.int32))
-    p, _, _, _ = jax.lax.while_loop(cond, body, init)
+    zero = jnp.asarray(0, jnp.int32)
+    init = (p, big, big, zero, zero, zero)
+    p, _, _, _, _, _ = jax.lax.while_loop(cond, body, init)
     out_ref[:] = p
 
 

@@ -33,6 +33,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..config import DIRICHLET, QUICK, CaseConfig
 from .bc import BFSInletProfile
 from .stencil import FaceFluxes
+from .sweeps import stall_update, stalled
 
 
 def _masks(shape):
@@ -193,23 +194,25 @@ def make_step_kernel(case: CaseConfig, has_bfs: bool):
                 return f, jnp.sqrt(ss / n_cells)
 
             def body(c):
-                f, prev, _, it = c
+                f, best, stale, checks, it = c
                 f = jax.lax.fori_loop(
                     0, m_check - 1, lambda _, g: sweep(g, False)[0], f
                 )
                 f, rms = sweep(f, True)
-                return f, rms, prev, it + m_check
+                stale, best = stall_update(rms, best, stale)
+                return f, best, stale, checks + 1, it + m_check
 
             def cond(c):
-                _, rms, prev, it = c
-                improving = jnp.logical_or(rms < 0.999 * prev, jnp.isinf(prev))
+                _, best, stale, checks, it = c
                 return jnp.logical_and(
-                    jnp.logical_and(it < max_iter, rms >= tol), improving
+                    jnp.logical_and(it < max_iter, best >= tol),
+                    jnp.logical_not(stalled(stale, checks)),
                 )
 
             big = jnp.asarray(jnp.inf, f0.dtype)
-            f, _, _, _ = jax.lax.while_loop(
-                cond, body, (f0, big, big, jnp.asarray(0, jnp.int32))
+            zero = jnp.asarray(0, jnp.int32)
+            f, _, _, _, _ = jax.lax.while_loop(
+                cond, body, (f0, big, zero, zero, zero)
             )
             return f
 
@@ -251,23 +254,25 @@ def make_step_kernel(case: CaseConfig, has_bfs: bool):
             return f, jnp.sqrt(ss / n_cells)
 
         def p_body(c):
-            f, prev, _, it = c
+            f, best, stale, checks, it = c
             f = jax.lax.fori_loop(
                 0, p_check - 1, lambda _, g: p_sweep(g, False)[0], f
             )
             f, rms = p_sweep(f, True)
-            return f, rms, prev, it + p_check
+            stale, best = stall_update(rms, best, stale)
+            return f, best, stale, checks + 1, it + p_check
 
         def p_cond(c):
-            _, rms, prev, it = c
-            improving = jnp.logical_or(rms < 0.999 * prev, jnp.isinf(prev))
+            _, best, stale, checks, it = c
             return jnp.logical_and(
-                jnp.logical_and(it < max_iter, rms >= tol), improving
+                jnp.logical_and(it < max_iter, best >= tol),
+                jnp.logical_not(stalled(stale, checks)),
             )
 
         bigp = jnp.asarray(jnp.inf, p0.dtype)
-        p, _, _, _ = jax.lax.while_loop(
-            p_cond, p_body, (p0, bigp, bigp, jnp.asarray(0, jnp.int32))
+        zerop = jnp.asarray(0, jnp.int32)
+        p, _, _, _, _ = jax.lax.while_loop(
+            p_cond, p_body, (p0, bigp, zerop, zerop, zerop)
         )
         if alpha["p"] != 1.0:
             p = jnp.where(interior, p0 + alpha["p"] * (p - p0), p)

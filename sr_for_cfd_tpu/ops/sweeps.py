@@ -37,6 +37,43 @@ from .stencil import FaceFluxes, diffusion, quick_convection, upwind_convection
 # residual_fn(phi) -> (R, ap) over the interior; ap may be scalar or array.
 ResidualFn = Callable[[jnp.ndarray], Tuple[jnp.ndarray, jnp.ndarray]]
 
+# ---------------------------------------------------------------------------
+# Unified inner-loop stall policy, shared by all four pressure/momentum
+# solvers (this module, ops/pallas_kernels.py, ops/multigrid.py,
+# parallel/halo.py). Two failure modes shape it:
+#
+#   * SOR/red-black residual traces are NON-MONOTONE during transients, so
+#     a single non-improving check must never kill the loop (the same
+#     lesson as the outer loop's plateau detector).
+#   * At the precision floor the rms RATTLES, often alternating down/up, so
+#     "consecutive non-improving vs the PREVIOUS check" can never fire and
+#     would burn the full iteration cap.
+#
+# Both are handled by comparing each check against the BEST rms seen so
+# far: a genuine transient soon sets a new best (stall counter resets); a
+# floor rattle never does (counter only grows). Exit after STALL_PATIENCE
+# consecutive checks without a new ratio-best, but never before
+# STALL_MIN_CHECKS checks have run.
+STALL_PATIENCE = 2
+STALL_MIN_CHECKS = 4
+
+
+def stall_ratio(dtype) -> float:
+    """A check "improves" when rms < ratio * best. f32 needs the looser
+    ratio: near its precision floor rms rattles within ~1%."""
+    return 0.99 if jnp.dtype(dtype) == jnp.float32 else 0.999
+
+
+def stall_update(rms, best, stale):
+    """Returns (next stall counter, next best rms). `best` starts at +inf."""
+    improved = rms < stall_ratio(rms.dtype) * best
+    return jnp.where(improved, 0, stale + 1), jnp.minimum(best, rms)
+
+
+def stalled(stale, checks):
+    """True once the loop has met the unified stall-exit criterion."""
+    return jnp.logical_and(stale >= STALL_PATIENCE, checks >= STALL_MIN_CHECKS)
+
 
 def optimal_sor(nx: int, ny: int) -> float:
     """Grid-optimal red-black SOR factor 2/(1 + sin(pi/N)); requested
@@ -109,11 +146,15 @@ def sweep_loop(
     inner_scheme: str = "redblack",
     check_every: int = 1,
     sor: float = 1.0,
+    return_count: bool = False,
 ) -> jnp.ndarray:
     """Iterate point sweeps until RMS(R) < tol or `max_iter` sweeps.
 
-    Returns the updated padded field. The early exit mirrors the reference's
-    hard-coded 1e-6 / 1000 inner loop (`LDV PyCFD given by sir.py:519-537`).
+    Returns the updated padded field (with `return_count`, a
+    `(field, sweeps_run)` pair - the observability hook behind the
+    per-outer-iteration inner-sweep accounting, SURVEY.md section 5.1). The
+    early exit mirrors the reference's hard-coded 1e-6 / 1000 inner loop
+    (`LDV PyCFD given by sir.py:519-537`).
 
     `check_every > 1` evaluates the exit reduction only every K sweeps (the
     loop runs K sweeps per while iteration), trading up to K-1 extra sweeps
@@ -148,26 +189,31 @@ def sweep_loop(
             return f, rms
 
     def body(carry):
-        f, prev, _, it = carry
+        f, _, best, stale, checks, it = carry
         for _ in range(check_every - 1):
             f, _ = sweep(f, with_rms=False)
         f, rms = sweep(f, with_rms=True)
-        return f, rms, prev, it + check_every
-
-    def cond(carry):
-        _, rms, prev, it = carry
         # stall detection: once rms stops improving (precision floor), more
         # sweeps are pure waste - crucial for f32 where the reference's
         # absolute 1e-6 tolerance may be unreachable and the loop would
-        # otherwise burn its full cap every outer iteration
-        improving = jnp.logical_or(rms < 0.999 * prev, jnp.isinf(prev))
+        # otherwise burn its full cap every outer iteration. Unified policy
+        # in stall_update/stalled: SOR transients are non-monotone.
+        stale, best = stall_update(rms, best, stale)
+        return f, rms, best, stale, checks + 1, it + check_every
+
+    def cond(carry):
+        _, rms, _, stale, checks, it = carry
         return jnp.logical_and(
-            jnp.logical_and(it < max_iter, rms >= tol), improving
+            jnp.logical_and(it < max_iter, rms >= tol),
+            jnp.logical_not(stalled(stale, checks)),
         )
 
     big = jnp.asarray(jnp.inf, dtype=dtype)
-    init = (phi, big, big, jnp.asarray(0, jnp.int32))
-    phi, _, _, _ = jax.lax.while_loop(cond, body, init)
+    zero = jnp.asarray(0, jnp.int32)
+    init = (phi, big, big, zero, zero, zero)
+    phi, _, _, _, _, sweeps_run = jax.lax.while_loop(cond, body, init)
+    if return_count:
+        return phi, sweeps_run
     return phi
 
 
@@ -186,6 +232,7 @@ def solve_momentum(
     max_iter: int = 1000,
     inner_scheme: str = "redblack",
     check_every: int = 1,
+    return_count: bool = False,
 ) -> jnp.ndarray:
     """Implicit momentum solve for one velocity component
     (reference `solve_momentum_quick` / `solve_momentum_upwind`,
@@ -202,7 +249,8 @@ def solve_momentum(
         nu=nu,
         volp=volp,
     )
-    return sweep_loop(phi, fn, nx, ny, tol, max_iter, inner_scheme, check_every)
+    return sweep_loop(phi, fn, nx, ny, tol, max_iter, inner_scheme,
+                      check_every, return_count=return_count)
 
 
 def solve_pressure(
@@ -219,6 +267,7 @@ def solve_pressure(
     inner_scheme: str = "redblack",
     check_every: int = 1,
     sor: float = 1.0,
+    return_count: bool = False,
 ) -> jnp.ndarray:
     """Pressure-Poisson solve (reference `solve_pressure`,
     `LDV PyCFD given by sir.py:561-583`). The RHS (face-flux divergence) is
@@ -232,4 +281,5 @@ def solve_pressure(
         pressure_residual, div_sum=div_sum, dx=dx, dy=dy, dt=dt, rho=rho,
         volp=volp,
     )
-    return sweep_loop(p, fn, nx, ny, tol, max_iter, inner_scheme, check_every, sor)
+    return sweep_loop(p, fn, nx, ny, tol, max_iter, inner_scheme, check_every,
+                      sor, return_count=return_count)

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops.stencil import FaceFluxes
-from ..ops.sweeps import optimal_sor
+from ..ops.sweeps import optimal_sor, stall_update, stalled
 
 # (mesh, static config) -> compiled shard_map solver; built once per config
 _SOLVER_CACHE: Dict[Tuple, object] = {}
@@ -66,9 +66,6 @@ def shardmap_solve_pressure(
     n_cells = nx * ny
     # same clamp as solve_pressure (result compatibility)
     sor = min(sor, optimal_sor(nx, ny))
-    # f32 floors above the absolute tolerance; same stall policy as
-    # sweeps.sweep_loop
-    stall_ratio = 0.99 if p.dtype == jnp.float32 else 0.999
     fwd = [(i, (i + 1) % n_dev) for i in range(n_dev)]
     bwd = [(i, (i - 1) % n_dev) for i in range(n_dev)]
 
@@ -124,24 +121,24 @@ def shardmap_solve_pressure(
             return x, jnp.sqrt(ss / n_cells)
 
         def body(carry):
-            x, prev, stale, it = carry
+            x, _, best, stale, it = carry
             x, rms = sweep(x)
-            improved = jnp.logical_or(rms < stall_ratio * prev, jnp.isinf(prev))
-            stale = jnp.where(improved, 0, stale + 1)
-            return x, rms, stale, it + 1
+            # unified stall policy (ops/sweeps.py); check_every == 1 here so
+            # `it` doubles as the check count
+            stale, best = stall_update(rms, best, stale)
+            return x, rms, best, stale, it + 1
 
         def cond(carry):
-            _, rms, stale, it = carry
-            stalled = jnp.logical_and(stale >= 2, it >= 4)
+            _, rms, _, stale, it = carry
             return jnp.logical_and(
                 jnp.logical_and(it < max_iter, rms >= tol),
-                jnp.logical_not(stalled),
+                jnp.logical_not(stalled(stale, it)),
             )
 
         big = jnp.asarray(jnp.inf, x.dtype)
-        x, _, _, _ = jax.lax.while_loop(
-            cond, body,
-            (x, big, jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32)),
+        zero = jnp.asarray(0, jnp.int32)
+        x, _, _, _, _ = jax.lax.while_loop(
+            cond, body, (x, big, big, zero, zero),
         )
         return x
 
