@@ -234,6 +234,26 @@ class SolverSettings:
             raise ValueError(
                 f"Unknown pressure solver {self.pressure_solver!r}"
             )
+        # fused_step would previously fall back to the jnp path SILENTLY
+        # when combined with incompatible options; fail at config time so
+        # a user asking for the fused kernel either gets it or hears why.
+        for flag in ("fused_step", "use_pallas"):
+            if not getattr(self, flag):
+                continue
+            bad = []
+            if self.dtype != "float32":
+                bad.append(f"dtype={self.dtype!r} (Pallas kernels are float32)")
+            if self.pressure_solver != "sweeps":
+                bad.append(
+                    f"pressure_solver={self.pressure_solver!r} (the Pallas "
+                    "kernels embed their own point-iteration pressure loop)"
+                )
+            if bad:
+                raise ValueError(
+                    f"{flag}=True is incompatible with "
+                    + " and ".join(bad)
+                    + f"; drop {flag} or the conflicting option"
+                )
 
     @staticmethod
     def make(

@@ -66,8 +66,9 @@ def simple_step(
     mesh, fluid, st = case.mesh, case.fluid, case.settings
     if nu is None:
         nu = fluid.nu
-    if (st.fused_step and state.u.dtype == jnp.float32
-            and st.pressure_solver == "sweeps"):
+    # config __post_init__ guarantees fused_step implies f32 + 'sweeps'
+    # (no silent fallback; incompatible combinations fail at config time)
+    if st.fused_step:
         return _fused_step(state, case, profile, nu)
     dx, dy, volp, dt = mesh.dx, mesh.dy, mesh.volp, st.dt
     sweep_kw = dict(
@@ -103,7 +104,7 @@ def simple_step(
             p, ff, dx=dx, dy=dy, dt=dt, rho=fluid.rho, volp=volp,
             tol=st.inner_tolerance,
         )
-    elif st.use_pallas and p.dtype == jnp.float32:
+    elif st.use_pallas:  # config guarantees f32 + 'sweeps'
         # fused single-launch VMEM-resident kernel (~12x faster per sweep
         # than the XLA while_loop lowering; see ops/pallas_kernels.py)
         from ..ops.pallas_kernels import pallas_solve_pressure

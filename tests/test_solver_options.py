@@ -102,3 +102,23 @@ def test_step_timer():
         pass
     assert t.counts["a"] == 2
     assert "a:" in t.summary()
+
+
+def test_fused_step_incompatible_options_fail_loudly():
+    """fused_step/use_pallas used to fall back to the jnp path silently
+    when combined with multigrid or float64; now they fail at config time
+    (VERDICT r1 weak #8)."""
+    import pytest
+
+    from sr_for_cfd_tpu.config import SolverSettings
+
+    with pytest.raises(ValueError, match="fused_step.*multigrid"):
+        SolverSettings.make(fused_step=True, pressure_solver="multigrid",
+                            dtype="float32")
+    with pytest.raises(ValueError, match="fused_step.*float64"):
+        SolverSettings.make(fused_step=True, dtype="float64")
+    with pytest.raises(ValueError, match="use_pallas.*float64"):
+        SolverSettings.make(use_pallas=True, dtype="float64")
+    # the compatible combination still constructs
+    SolverSettings.make(fused_step=True, dtype="float32",
+                        pressure_solver="sweeps")
