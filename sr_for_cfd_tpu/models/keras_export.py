@@ -115,3 +115,45 @@ def export_superres_h5(variables: Dict, lr_dim: int, hr_dim: int,
     export_encoder_h5(params["encoder_lr"], lr_dim, encoder_path, latent_dim)
     export_decoder_h5(params["decoder_hr"], hr_dim, decoder_path, latent_dim)
     return encoder_path, decoder_path
+
+
+def export_combined_h5(variables: Dict, lr_dim: int, hr_dim: int,
+                       path: str, latent_dim: int = LATENT_DIM) -> str:
+    """Export the single combined `superresolution{lr}to{hr}_*.h5` model
+    (encoder and decoder as named submodels), the reference's third export
+    artifact (`sr-ae-conv.ipynb` export cell; SURVEY.md section 2.7).
+    Re-importable via `keras_import.load_keras_combined_params`."""
+    from tensorflow.keras import Model, layers
+
+    params = variables["params"]
+    enc = _keras_encoder(lr_dim, latent_dim)
+    dec = _keras_decoder(hr_dim, latent_dim)
+
+    weights = []
+    for idx in range(len(ENCODER_SPECS[lr_dim])):
+        name = "conv2d" if idx == 0 else f"conv2d_{idx}"
+        weights += [np.asarray(params["encoder_lr"][name]["kernel"]),
+                    np.asarray(params["encoder_lr"][name]["bias"])]
+    weights += [np.asarray(params["encoder_lr"]["dense"]["kernel"]),
+                np.asarray(params["encoder_lr"]["dense"]["bias"]),
+                np.asarray(params["encoder_lr"]["latent_vector"]["kernel"]),
+                np.asarray(params["encoder_lr"]["latent_vector"]["bias"])]
+    enc.set_weights(weights)
+
+    dparams = params["decoder_hr"]
+    _, ladder = DECODER_SPECS[hr_dim]
+    weights = [np.asarray(dparams["dense"]["kernel"]),
+               np.asarray(dparams["dense"]["bias"])]
+    for idx in range(len(ladder)):
+        p = dparams[f"conv_transpose_{idx}"]
+        weights += [_conv_t_kernel(np.asarray(p["kernel"])),
+                    np.asarray(p["bias"])]
+    weights += [np.asarray(dparams["output_conv"]["kernel"]),
+                np.asarray(dparams["output_conv"]["bias"])]
+    dec.set_weights(weights)
+
+    inp = layers.Input(shape=(lr_dim, lr_dim, 1), name="superres_input")
+    combined = Model(inp, dec(enc(inp)),
+                     name=f"superresolution_{lr_dim}to{hr_dim}")
+    combined.save(path)
+    return path

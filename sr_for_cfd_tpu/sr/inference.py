@@ -82,10 +82,11 @@ class SRModel:
                    lr_dim: int, hr_dim: int,
                    latent_dim: int = LATENT_DIM) -> "SRModel":
         """Assemble from split encoder/decoder checkpoints - the
-        reference's artifact convention (`PyCFD_ML_accelerated.py:831-833`).
-        .msgpack parts are our exports; a .h5 encoder is a reference Keras
-        checkpoint (importable; reference decoders were stripped from the
-        snapshot, so .h5 decoders are not supported)."""
+        reference's artifact convention (`PyCFD_ML_accelerated.py:831-833`
+        loads BOTH encoder and decoder from .h5). .msgpack parts are our
+        native exports; .h5 parts are Keras checkpoints (the reference's
+        surviving encoders, or our own `keras_export` output - the
+        ConvTranspose flip+swap is inverted on import)."""
         from ..io.checkpoint import load_params
 
         model = cls.create(lr_dim, hr_dim, latent_dim=latent_dim)
@@ -99,15 +100,26 @@ class SRModel:
                 encoder_file, {"params": params["encoder_lr"]}
             )["params"]
         if decoder_file.endswith(".h5"):
-            raise NotImplementedError(
-                "Keras .h5 decoder import is not supported (ConvTranspose "
-                "weight semantics differ; the reference snapshot ships no "
-                "decoder weights anyway - retrain via `srcfd train`)"
-            )
-        params["decoder_hr"] = load_params(
-            decoder_file, {"params": params["decoder_hr"]}
-        )["params"]
+            from ..models.keras_import import load_keras_decoder_params
+
+            params["decoder_hr"] = load_keras_decoder_params(decoder_file)["params"]
+        else:
+            params["decoder_hr"] = load_params(
+                decoder_file, {"params": params["decoder_hr"]}
+            )["params"]
         return dataclasses.replace(model, params={"params": params})
+
+    @classmethod
+    def from_combined_h5(cls, path: str, lr_dim: int, hr_dim: int,
+                         latent_dim: int = LATENT_DIM) -> "SRModel":
+        """Load a combined `superresolution{lr}to{hr}_*.h5` artifact (the
+        reference's third export, `sr-ae-conv.ipynb` export cell)."""
+        from ..models.keras_import import load_keras_combined_params
+
+        model = cls.create(lr_dim, hr_dim, latent_dim=latent_dim)
+        return dataclasses.replace(
+            model, params=load_keras_combined_params(path)
+        )
 
     def predict(self, x: jnp.ndarray) -> jnp.ndarray:
         return self.module.apply(self.params, x)

@@ -267,9 +267,10 @@ def export_models(
     save_params(paths["decoder"], {"params": params["decoder_hr"]})
     save_params(paths["combined"], result.params)
     stz.write_stats_file(paths["stats"], stats)
-    # reference-compatible Keras .h5 pair (optional: requires tensorflow)
+    # reference-compatible Keras .h5 triple: encoder + decoder +
+    # combined superresolution model (optional: requires tensorflow)
     try:
-        from ..models.keras_export import export_superres_h5
+        from ..models.keras_export import export_combined_h5, export_superres_h5
 
         paths["encoder_h5"] = os.path.join(
             out_dir, f"vanilla_encoder{lr_dim}_to_{hr_dim}_{suffix}.h5")
@@ -277,6 +278,9 @@ def export_models(
             out_dir, f"vanilla_decoder{hr_dim}_from_{lr_dim}_{suffix}.h5")
         export_superres_h5(result.params, lr_dim, hr_dim,
                            paths["encoder_h5"], paths["decoder_h5"])
+        paths["combined_h5"] = os.path.join(
+            out_dir, f"superresolution{lr_dim}to{hr_dim}_{suffix}.h5")
+        export_combined_h5(result.params, lr_dim, hr_dim, paths["combined_h5"])
     except Exception as e:
         print(f"  (Keras .h5 export skipped: {type(e).__name__}: {e})")
     return paths
