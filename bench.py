@@ -9,13 +9,32 @@ chip for a fixed iteration budget (cold start covers the expensive
 many-inner-sweep phase, so this is conservative vs the reference's
 full-trajectory average).
 
-Default mode: multigrid pressure solver - solves each outer step's
-pressure system to the full 1e-6 tolerance (the reference's capped point
-iteration exits at ~5e-4 on this grid) and is the fastest configuration.
-BENCH_MODE=parity uses the fused Pallas kernel with the reference's exact
-inner-loop semantics (1e-6/1000-sweep capped red-black).
+Measured and reported in ONE JSON line (driver contract: metric / value /
+unit / vs_baseline; everything else is supplementary):
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+  * both modes - `multigrid` (V-cycle pressure solve to the full 1e-6
+    tolerance; the fastest configuration and the headline `value`) and
+    `parity` (fused Pallas whole-step kernel with the reference's exact
+    inner-loop semantics: 1e-6/1000-sweep capped red-black);
+  * device_ms_per_step per mode - wall-clock over one BENCH_ITERS-step
+    on-device chunk (a single dispatch, so host/tunnel overhead is
+    amortized to <1%: effectively device time);
+  * an on-TPU numerical parity gate for the Pallas kernels (fused step
+    and pressure kernel vs the jnp path, atol 1e-5) - interpret-mode CPU
+    tests don't cover Mosaic codegen, and this machine has already
+    produced one silent SPMD miscompile (ops/bc.py:16-22);
+  * inner-sweep counts per outer iteration (SURVEY 5.1: "count of
+    outer/inner iterations"), sampled mid-trajectory via
+    simple_step(with_counts=True);
+  * a roofline estimate: per-sweep FLOPs/bytes from XLA's own
+    cost_analysis of a single straight-line sweep, scaled by the measured
+    sweep counts -> achieved GFLOP/s and HBM GB/s, and % of v5e peaks
+    (stencil sweeps are VPU/HBM work, not MXU: peaks are ~7.9e12 f32
+    VPU FLOP/s [8x128 lanes x 4 ALUs x 2 (FMA) x ~0.94 GHz, estimate] and
+    8.1e11 HBM B/s).
+
+BENCH_MODE=multigrid|parity restricts to one mode; BENCH_ITERS sets the
+per-rep iteration budget.
 """
 
 import json
@@ -29,39 +48,39 @@ NX = NY = 400
 RE = 1050.0
 DT = 1e-3
 BENCH_ITERS = int(os.environ.get("BENCH_ITERS", 200))
-WARMUP_ITERS = 10
+
+V5E_HBM_BYTES_PER_S = 8.1e11
+V5E_VPU_F32_FLOPS_PER_S = 7.9e12  # estimate; see module docstring
 
 
-def main():
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    import jax
-
+def _build(mode, n_iters):
     from sr_for_cfd_tpu.solver.cases import make_cavity_solver
 
-    mode = os.environ.get("BENCH_MODE", "multigrid")
-    on_tpu = jax.default_backend() == "tpu"
+    import jax
 
-    def build(n_iters):
-        kw = dict(
-            Re=RE, nx=NX, ny=NY, dt=DT, scheme="QUICK", dtype="float32",
-            max_iterations=n_iters, chunk_size=n_iters,
-        )
-        if mode == "multigrid":
-            kw["pressure_solver"] = "multigrid"
-        else:  # parity: fused Pallas kernel, reference inner semantics
-            kw["fused_step"] = on_tpu
-        return make_cavity_solver(**kw)
+    kw = dict(
+        Re=RE, nx=NX, ny=NY, dt=DT, scheme="QUICK", dtype="float32",
+        max_iterations=n_iters, chunk_size=n_iters,
+    )
+    if mode == "multigrid":
+        kw["pressure_solver"] = "multigrid"
+    else:  # parity: fused Pallas kernel, reference inner semantics
+        kw["fused_step"] = jax.default_backend() == "tpu"
+    return make_cavity_solver(**kw)
+
+
+def _time_mode(mode):
+    """(iterations/sec, ms/step): best of 3 single-dispatch chunks, each
+    from a perturbed fresh state so the remote (executable, inputs) result
+    cache cannot short-circuit."""
+    import jax
 
     from sr_for_cfd_tpu.solver.state import init_state
 
-    # warmup: compile + one full chunk execution on the same executable
-    solver = build(BENCH_ITERS)
-    state = solver._chunk_fn(solver.state, solver.profile)
+    solver = _build(mode, BENCH_ITERS)
+    state = solver._chunk_fn(solver.state, solver.profile)  # compile+warm
     jax.block_until_ready(state)
 
-    # timed runs: fresh states through the already-compiled chunk, each
-    # perturbed so the remote runtime's (executable, inputs) result cache
-    # cannot short-circuit the execution; report the best of 3
     best = float("inf")
     for rep in range(3):
         fresh = init_state(solver.case)
@@ -76,14 +95,231 @@ def main():
         iters = int(state.count)
         if iters == BENCH_ITERS and elapsed / iters > 1e-5:
             best = min(best, elapsed / iters)
-    value = 1.0 / best
+    return 1.0 / best, best * 1e3
 
-    print(json.dumps({
+
+def _pallas_parity_gate():
+    """On-TPU numerical check: the fused whole-step kernel and the fused
+    pressure kernel must match the jnp path (VERDICT r1 weak #3). Runs on
+    the real chip only - interpret mode can't catch Mosaic miscompiles."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sr_for_cfd_tpu.ops.pallas_kernels import pallas_solve_pressure
+    from sr_for_cfd_tpu.ops.stencil import face_fluxes
+    from sr_for_cfd_tpu.ops.sweeps import solve_pressure
+    from sr_for_cfd_tpu.solver.state import init_state
+
+    out = {}
+
+    # fused whole step vs jnp step, 2 outer iterations on a 128x128 cavity
+    ref = _run_small(fused=False)
+    fused = _run_small(fused=True)
+    diff = max(
+        float(jnp.max(jnp.abs(ref.u - fused.u))),
+        float(jnp.max(jnp.abs(ref.v - fused.v))),
+        float(jnp.max(jnp.abs(ref.p - fused.p))),
+    )
+    out["fused_step_max_abs_diff"] = diff
+
+    # pressure kernel vs jnp red-black on a random divergence field
+    rng = np.random.default_rng(0)
+    n = 128
+    dx = 1.0 / n
+    u = jnp.asarray(rng.standard_normal((n + 2, n + 2)) * 0.1, jnp.float32)
+    v = jnp.asarray(rng.standard_normal((n + 2, n + 2)) * 0.1, jnp.float32)
+    p0 = jnp.zeros((n + 2, n + 2), jnp.float32)
+    ff = face_fluxes(u, v, dx, dx)
+    kw = dict(dx=dx, dy=dx, dt=1e-3, rho=1.0, volp=dx * dx, tol=1e-6,
+              max_iter=200)
+    a = solve_pressure(p0, ff, check_every=8, **kw)
+    b = pallas_solve_pressure(p0, ff, check_every=8, **kw)
+    pdiff = float(jnp.max(jnp.abs(a - b)))
+    out["pressure_kernel_max_abs_diff"] = pdiff
+
+    out["ok"] = bool(diff <= 1e-5 and pdiff <= 1e-5)
+    return out
+
+
+def _run_small(fused):
+    import jax
+
+    from sr_for_cfd_tpu.solver.cases import make_cavity_solver
+
+    solver = make_cavity_solver(
+        Re=100.0, nx=128, ny=128, dt=1e-3, scheme="QUICK", dtype="float32",
+        max_iterations=2, chunk_size=2, fused_step=fused,
+    )
+    state = solver._chunk_fn(solver.state, solver.profile)
+    jax.block_until_ready(state)
+    return state
+
+
+def _inner_counts(pressure_solver, warm_steps=50, sample_steps=8):
+    """Average per-outer-iteration inner-solve counts, sampled after
+    `warm_steps` outer iterations (early iterations are unrepresentative:
+    the first pressure solves run to the cap)."""
+    import jax
+    from functools import partial
+
+    from sr_for_cfd_tpu.solver.simple import simple_step
+    from sr_for_cfd_tpu.solver.state import init_state
+
+    solver = _build(
+        "multigrid" if pressure_solver == "multigrid" else "jnp-sweeps",
+        warm_steps,
+    )
+    if pressure_solver != "multigrid":
+        # force the pure-jnp sweeps path (the fused kernel's loops don't
+        # expose counters; its inner semantics are identical)
+        from sr_for_cfd_tpu.solver.cases import make_cavity_solver
+
+        solver = make_cavity_solver(
+            Re=RE, nx=NX, ny=NY, dt=DT, scheme="QUICK", dtype="float32",
+            max_iterations=warm_steps, chunk_size=warm_steps,
+        )
+    state = solver._chunk_fn(solver.state, solver.profile)
+    step = jax.jit(partial(simple_step, case=solver.case,
+                           profile=solver.profile, with_counts=True))
+    totals = {"u": 0, "v": 0, "p": 0}
+    for _ in range(sample_steps):
+        state, counts = step(state)
+        for k in totals:
+            totals[k] += int(counts[k])
+    return {k: round(v / sample_steps, 1) for k, v in totals.items()}
+
+
+def _sweep_costs():
+    """Exact FLOPs / HBM bytes of ONE straight-line red-black sweep (the
+    inner loops' unit of work) from XLA's cost model - no while_loop, so
+    cost_analysis is reliable. Returns per-sweep numbers for the pressure
+    and momentum (QUICK) sweeps at the bench grid size."""
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+
+    from sr_for_cfd_tpu.ops.stencil import face_fluxes
+    from sr_for_cfd_tpu.ops.sweeps import (
+        checkerboard,
+        momentum_residual,
+        pressure_residual,
+    )
+
+    dx = 1.0 / NX
+    shape = (NX + 2, NY + 2)
+    red = jnp.asarray(checkerboard(NX, NY))
+
+    def rb_sweep(f, residual_fn):
+        r1, ap1 = residual_fn(f)
+        f = f.at[1:-1, 1:-1].add(jnp.where(red, r1 / ap1, 0.0))
+        r2, ap2 = residual_fn(f)
+        return f.at[1:-1, 1:-1].add(jnp.where(red, 0.0, r2 / ap2))
+
+    u = jnp.ones(shape, jnp.float32)
+    ff = face_fluxes(u, u, dx, dx)
+
+    def p_sweep(p):
+        fn = partial(pressure_residual, div_sum=ff.divergence_sum(), dx=dx,
+                     dy=dx, dt=DT, rho=1.0, volp=dx * dx)
+        return rb_sweep(p, fn)
+
+    def m_sweep(phi):
+        fn = partial(momentum_residual, phi_old_int=u[1:-1, 1:-1], ff=ff,
+                     scheme="QUICK", dx=dx, dy=dx, dt=DT, nu=1e-3,
+                     volp=dx * dx)
+        return rb_sweep(phi, fn)
+
+    out = {}
+    for name, fn in (("pressure", p_sweep), ("momentum", m_sweep)):
+        ca = jax.jit(fn).lower(u).compile().cost_analysis()
+        if isinstance(ca, list):  # older jax returns [dict]
+            ca = ca[0]
+        out[name] = {
+            "flops": float(ca.get("flops", 0.0)),
+            "bytes": float(ca.get("bytes accessed", 0.0)),
+        }
+    return out
+
+
+def main():
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import jax
+
+    on_tpu = jax.default_backend() == "tpu"
+    only = os.environ.get("BENCH_MODE")
+    modes = [only] if only else ["multigrid", "parity"]
+
+    result = {}
+
+    if on_tpu:
+        result["pallas_parity"] = _pallas_parity_gate()
+
+    perf = {}
+    for mode in modes:
+        ips, ms = _time_mode(mode)
+        perf[mode] = {"iters_per_sec": round(ips, 2),
+                      "device_ms_per_step": round(ms, 3),
+                      "vs_baseline": round(ips / BASELINE_ITERS_PER_SEC, 2)}
+
+    counts_sweeps = _inner_counts("sweeps")
+    counts_mg = _inner_counts("multigrid")
+    result["inner_counts_per_outer_step"] = {
+        "sweeps_mode_sweeps": counts_sweeps,
+        "multigrid_mode_vcycles_p": counts_mg["p"],
+    }
+
+    # roofline: measured sweep counts x XLA per-sweep cost
+    costs = _sweep_costs()
+    flops_per_step = (
+        (counts_sweeps["u"] + counts_sweeps["v"]) * costs["momentum"]["flops"]
+        + counts_sweeps["p"] * costs["pressure"]["flops"]
+    )
+    bytes_per_step = (
+        (counts_sweeps["u"] + counts_sweeps["v"]) * costs["momentum"]["bytes"]
+        + counts_sweeps["p"] * costs["pressure"]["bytes"]
+    )
+    result["roofline"] = {
+        "per_sweep_cost_source": "xla_cost_analysis_single_sweep",
+        "est_flops_per_outer_step": flops_per_step,
+        "est_hbm_bytes_per_outer_step_jnp_path": bytes_per_step,
+    }
+    if "parity" in perf:
+        s_per_step = perf["parity"]["device_ms_per_step"] / 1e3
+        gflops = flops_per_step / s_per_step / 1e9
+        result["roofline"]["parity_achieved_gflops_per_sec"] = round(gflops, 1)
+        result["roofline"]["parity_pct_of_v5e_vpu_f32_peak"] = round(
+            100 * gflops * 1e9 / V5E_VPU_F32_FLOPS_PER_S, 2)
+        # the fused kernel is VMEM-resident: HBM traffic per step is just
+        # the state in/out (7 padded arrays + 4 face-flux arrays)
+        hbm_fused = 11 * (NX + 2) * (NY + 2) * 4 * 2
+        result["roofline"]["parity_hbm_gb_per_sec"] = round(
+            hbm_fused / s_per_step / 1e9, 2)
+    if "multigrid" in perf:
+        s_per_step = perf["multigrid"]["device_ms_per_step"] / 1e3
+        # jnp path: every sweep round-trips HBM; V-cycles move ~2x the
+        # fine-grid bytes of a sweep per cycle (sum over levels < 4/3,
+        # plus restriction/prolongation)
+        mg_bytes = counts_mg["p"] * 2.0 * costs["pressure"]["bytes"] + (
+            (counts_sweeps["u"] + counts_sweeps["v"])
+            * costs["momentum"]["bytes"]
+        )
+        result["roofline"]["multigrid_hbm_gb_per_sec_est"] = round(
+            mg_bytes / s_per_step / 1e9, 2)
+        result["roofline"]["multigrid_pct_of_v5e_hbm_peak_est"] = round(
+            100 * mg_bytes / s_per_step / V5E_HBM_BYTES_PER_S, 2)
+
+    headline = perf.get("multigrid") or perf[modes[0]]
+    result.update({
         "metric": "cavity_400x400_Re1050_QUICK_outer_iterations_per_sec",
-        "value": round(value, 2),
+        "value": headline["iters_per_sec"],
         "unit": "iterations/sec",
-        "vs_baseline": round(value / BASELINE_ITERS_PER_SEC, 2),
-    }))
+        "vs_baseline": headline["vs_baseline"],
+        "modes": perf,
+        "bench_iters": BENCH_ITERS,
+        "backend": jax.default_backend(),
+    })
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -33,7 +33,7 @@ def main():
         output_dir="outputs/cavity_hybrid", verbose=True,
         dtype="float32", chunk_size=2000, fused_step=True,
         pressure_sor=1.9, plateau_patience=5,
-        coarse_overrides={"chunk_size": 25000},
+        coarse_overrides={"chunk_size": 100000},
     )
     total = time.time() - t0
     hybrid_wall = results["coarse_time"] + results["ml_time"]

@@ -66,7 +66,7 @@ def main():
         output_dir=args.out, verbose=True,
         dtype="float32", chunk_size=2000, fused_step=True,
         pressure_sor=args.sor, plateau_patience=5,
-        coarse_overrides={"chunk_size": 25000},
+        coarse_overrides={"chunk_size": 100000},
     )
     total = time.time() - t0
 

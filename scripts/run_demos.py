@@ -42,7 +42,7 @@ def run(name, **kw):
         # big chunks: the 10x10 coarse otherwise makes ~50 host round
         # trips whose relay latency dominates (and varies 30ms-3s here)
         coarse_overrides={"pressure_solver": "sweeps", "fused_step": True,
-                          "pressure_sor": 1.9, "chunk_size": 25000},
+                          "pressure_sor": 1.9, "chunk_size": 100000},
         **kw,
     )
     hybrid = r["coarse_time"] + r["ml_time"]

@@ -210,11 +210,18 @@ class SolverSettings:
     # mode, jnp path). See ops/multigrid.py.
     pressure_solver: str = "sweeps"
     # Outer-loop plateau stopping (0 = off): stop when the residual RMS has
-    # not improved by plateau_rtol over this many consecutive chunks -
-    # "converged to working precision". Essential for f32 runs whose
+    # not improved by plateau_rtol over plateau_patience consecutive checks
+    # - "converged to working precision". Essential for f32 runs whose
     # residuals floor above the reference's f64-calibrated criteria.
+    # Runs BOTH host-side (windowed chunk medians, robust for small chunks)
+    # and device-side (inside the while_loop, every plateau_check_every
+    # iterations vs the running best) - the device check lets a tiny-grid
+    # solve run as ONE big dispatch and still exit early, with zero host
+    # round trips (the relay's 30ms-3s latency makes small chunks
+    # expensive here).
     plateau_patience: int = 0
     plateau_rtol: float = 0.01
+    plateau_check_every: int = 100
     # TPU production runs in float32; float64 is the CPU validation mode.
     dtype: str = "float32"
     # Host round-trip cadence for logging / convergence checks.

@@ -119,10 +119,12 @@ def mg_solve_pressure(
     n_pre: int = 4,
     n_post: int = 4,
     smoother_sor: float = 1.3,
+    return_count: bool = False,
 ) -> jnp.ndarray:
     """Drop-in replacement for `sweeps.solve_pressure`: solves the same
     frozen-ghost system to the same residual-RMS tolerance via V-cycles.
-    Early exit on tolerance or stall, like the point-iteration loops."""
+    Early exit on tolerance or stall, like the point-iteration loops.
+    With `return_count`, returns `(p, v_cycles_run)`."""
     nx, ny = p.shape[0] - 2, p.shape[1] - 2
     dtype = p.dtype
     n_cells = nx * ny
@@ -180,7 +182,10 @@ def mg_solve_pressure(
         )
 
     big = jnp.asarray(jnp.inf, dtype)
-    x, _, _, _ = jax.lax.while_loop(
+    x, _, _, cycles = jax.lax.while_loop(
         cond, body, (x0, big, jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32))
     )
-    return p.at[1:-1, 1:-1].set(x)
+    out = p.at[1:-1, 1:-1].set(x)
+    if return_count:
+        return out, cycles
+    return out

@@ -50,6 +50,7 @@ def simple_step(
     case: CaseConfig,
     profile: Optional[BFSInletProfile],
     nu=None,
+    with_counts: bool = False,
 ) -> SolverState:
     """One SIMPLE outer iteration (reference `_implicit_solve` +
     `_convergence_check`, `LDV PyCFD given by sir.py:171-232`;
@@ -62,6 +63,12 @@ def simple_step(
 
     `nu` optionally overrides the case viscosity with a traced scalar so
     the step can be vmapped over Reynolds numbers (data-generation sweep).
+
+    `with_counts=True` (static) additionally returns a dict of this outer
+    iteration's inner-solve work - {'u','v','p'} sweep (or V-cycle) counts
+    - the SURVEY section 5.1 observability requirement ("count of
+    outer/inner iterations"). Not supported on the fused/pallas paths
+    (their single-kernel loops don't expose counters).
     """
     mesh, fluid, st = case.mesh, case.fluid, case.settings
     if nu is None:
@@ -69,7 +76,11 @@ def simple_step(
     # config __post_init__ guarantees fused_step implies f32 + 'sweeps'
     # (no silent fallback; incompatible combinations fail at config time)
     if st.fused_step:
+        if with_counts:
+            raise ValueError("with_counts unsupported on the fused step")
         return _fused_step(state, case, profile, nu)
+    if with_counts and st.use_pallas:
+        raise ValueError("with_counts unsupported on the pallas pressure path")
     dx, dy, volp, dt = mesh.dx, mesh.dy, mesh.volp, st.dt
     sweep_kw = dict(
         tol=st.inner_tolerance,
@@ -79,19 +90,24 @@ def simple_step(
     )
 
     u, v, p = state.u, state.v, state.p
+    counts = {}
 
     # -- momentum ------------------------------------------------------
     u = solve_momentum(
         u, state.u_old, state.ff, scheme=st.scheme, dx=dx, dy=dy, dt=dt,
-        nu=nu, volp=volp, **sweep_kw,
+        nu=nu, volp=volp, return_count=with_counts, **sweep_kw,
     )
+    if with_counts:
+        u, counts["u"] = u
     u = under_relax(u, state.u_old, st.relax("u"))
     u = apply_bfs_inlet(apply_bc(u, case.u_bc), 0, profile)
 
     v = solve_momentum(
         v, state.v_old, state.ff, scheme=st.scheme, dx=dx, dy=dy, dt=dt,
-        nu=nu, volp=volp, **sweep_kw,
+        nu=nu, volp=volp, return_count=with_counts, **sweep_kw,
     )
+    if with_counts:
+        v, counts["v"] = v
     v = under_relax(v, state.v_old, st.relax("v"))
     v = apply_bfs_inlet(apply_bc(v, case.v_bc), 1, profile)
 
@@ -102,7 +118,7 @@ def simple_step(
 
         p = mg_solve_pressure(
             p, ff, dx=dx, dy=dy, dt=dt, rho=fluid.rho, volp=volp,
-            tol=st.inner_tolerance,
+            tol=st.inner_tolerance, return_count=with_counts,
         )
     elif st.use_pallas:  # config guarantees f32 + 'sweeps'
         # fused single-launch VMEM-resident kernel (~12x faster per sweep
@@ -120,8 +136,10 @@ def simple_step(
             p, ff, dx=dx, dy=dy, dt=dt, rho=fluid.rho, volp=volp,
             tol=st.inner_tolerance, max_iter=st.inner_max_iter,
             inner_scheme=st.inner_scheme, check_every=st.pressure_check_every,
-            sor=st.pressure_sor,
+            sor=st.pressure_sor, return_count=with_counts,
         )
+    if with_counts:
+        p, counts["p"] = p
     p = under_relax(p, state.p_old, st.relax("p"))
     p = apply_bc(p, case.p_bc)
 
@@ -151,7 +169,7 @@ def simple_step(
     # `PyCFD_ML_accelerated.py:481-487`).
     diverged = jnp.logical_not(jnp.all(jnp.isfinite(rms)))
 
-    return SolverState(
+    new_state = SolverState(
         u=u,
         v=v,
         p=p,
@@ -164,6 +182,9 @@ def simple_step(
         converged=converged,
         diverged=diverged,
     )
+    if with_counts:
+        return new_state, counts
+    return new_state
 
 
 def _fused_step(
@@ -212,18 +233,48 @@ def run_chunk(
     """Run up to `n_steps` outer iterations on-device (stops early on
     convergence/divergence/max_iterations). `nu` (traced) keeps the
     viscosity out of the compiled program so solves over many Reynolds
-    numbers share one executable."""
+    numbers share one executable.
+
+    Device-side plateau stopping (`plateau_patience > 0`): every
+    `plateau_check_every` global iterations, compare the residual RMS
+    vector against the best seen this chunk; after `plateau_patience`
+    consecutive checks in which no component improved on its best by
+    `plateau_rtol`, mark the state converged ("working-precision
+    convergence"). This runs INSIDE the while_loop, so a tiny-grid solve
+    can run as one big dispatch and still exit early - the TPU-native
+    replacement for driving small chunks from the host (the relay's
+    round-trip latency dwarfs a 10x10 iteration). The best/stale carry is
+    chunk-local, so detection needs patience*check_every iterations within
+    one chunk; the host-side windowed check in `CFDSolver.solve` covers
+    small-chunk configurations."""
+    st = case.settings
     step = partial(simple_step, case=case, profile=profile, nu=nu)
+    use_plateau = st.plateau_patience > 0
+    k_check = st.plateau_check_every
 
     def body(carry):
-        s, i = carry
-        return step(s), i + 1
+        s, i, ref, stale = carry
+        s = step(s)
+        if use_plateau:
+            at_check = (s.count % k_check) == 0
+            improved = jnp.any(s.rms < (1.0 - st.plateau_rtol) * ref)
+            stale = jnp.where(
+                at_check, jnp.where(improved, 0, stale + 1), stale
+            )
+            ref = jnp.where(at_check, jnp.minimum(ref, s.rms), ref)
+            plateaued = stale >= st.plateau_patience
+            s = s._replace(converged=jnp.logical_or(s.converged, plateaued))
+        return s, i + 1, ref, stale
 
     def cond(carry):
-        s, i = carry
-        return jnp.logical_and(i < n_steps, _active(s, case.settings.max_iterations))
+        s, i, _, _ = carry
+        return jnp.logical_and(i < n_steps, _active(s, st.max_iterations))
 
-    state, _ = jax.lax.while_loop(cond, body, (state, jnp.asarray(0, jnp.int32)))
+    ref0 = jnp.full((3,), jnp.inf, state.rms.dtype)
+    zero = jnp.asarray(0, jnp.int32)
+    state, _, _, _ = jax.lax.while_loop(
+        cond, body, (state, zero, ref0, zero)
+    )
     return state
 
 
@@ -415,6 +466,14 @@ class CFDSolver:
                     )
                     last_snapshot = count
                 if bool(self.state.converged) or count >= st.max_iterations:
+                    crit = np.asarray(
+                        [st.criterion("u"), st.criterion("v"),
+                         st.criterion("p")]
+                    )
+                    if (verbose and bool(self.state.converged)
+                            and np.any(rms > crit)):
+                        print(f"Stopping at iteration {count}: device-side "
+                              f"plateau (working-precision convergence)")
                     break
                 # plateau stopping: residuals stopped improving (working-
                 # precision floor; opt-in, see SolverSettings). Compares

@@ -271,8 +271,15 @@ def run_hybrid_experiment(
     prefix = "bfs" if is_bfs else "cavity"
 
     # solver choices can differ per phase: e.g. the fused point-iteration
-    # kernel wins on the tiny coarse grid, multigrid wins on the fine grid
+    # kernel wins on the tiny coarse grid, multigrid wins on the fine grid.
+    # Coarse-phase defaults: the reference's 10x10 coarse solve never
+    # converges (it hit its 100k cap, BASELINE.md) - running it to the cap
+    # is pure waste, so plateau stopping is ON by default here, and the
+    # whole coarse budget runs as ONE dispatch (device-side plateau exits
+    # early; tiny-grid chunks are dominated by host round-trip latency).
     coarse_kw = dict(kw)
+    coarse_kw.setdefault("plateau_patience", 5)
+    coarse_kw.setdefault("chunk_size", max_iterations_coarse)
     coarse_kw.update(coarse_overrides or {})
     coarse_fields, _, coarse_iters, coarse_time = run_coarse_simulation(
         Re, lr_dim=lr_dim, dt=dt, scheme=scheme,

@@ -122,3 +122,25 @@ def test_fused_step_incompatible_options_fail_loudly():
     # the compatible combination still constructs
     SolverSettings.make(fused_step=True, dtype="float32",
                         pressure_solver="sweeps")
+
+
+def test_device_side_plateau_single_dispatch():
+    """With plateau_patience > 0 the while_loop itself detects the
+    working-precision floor: a 10x10 f32 solve whose residuals floor far
+    above the f64-calibrated criteria exits well below the cap even when
+    the whole budget is ONE chunk (zero mid-solve host round trips)."""
+    from sr_for_cfd_tpu.solver.cases import make_cavity_solver
+
+    kw = dict(Re=1000, nx=10, ny=10, dt=1e-3, scheme="QUICK",
+              dtype="float32", max_iterations=40000, chunk_size=40000,
+              pressure_sor=1.9)
+    s = make_cavity_solver(plateau_patience=5, **kw)
+    its, _ = s.solve("/tmp/unused_plateau", verbose=False,
+                     save_results=False)
+    assert its < 40000
+    assert bool(s.state.converged)
+    # without plateau the same config burns the full cap
+    s2 = make_cavity_solver(**kw)
+    its2, _ = s2.solve("/tmp/unused_noplateau", verbose=False,
+                       save_results=False)
+    assert its2 == 40000
