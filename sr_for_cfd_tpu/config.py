@@ -219,9 +219,15 @@ class SolverSettings:
     # solve run as ONE big dispatch and still exit early, with zero host
     # round trips (the relay's 30ms-3s latency makes small chunks
     # expensive here).
+    # plateau_check_every sets the device-side check cadence (and thus the
+    # improvement-rate threshold: rtol per check_every iterations). 2000
+    # matches the host policy's chunk timescale; values as low as 100 make
+    # the check demand a 1%-per-100-iteration rate, which a healthy
+    # slowly-converging fine-grid solve fails long before its floor
+    # (measured: a 400^2 cavity cold start "plateaued" at 5k of 36k).
     plateau_patience: int = 0
     plateau_rtol: float = 0.01
-    plateau_check_every: int = 100
+    plateau_check_every: int = 2000
     # TPU production runs in float32; float64 is the CPU validation mode.
     dtype: str = "float32"
     # Host round-trip cadence for logging / convergence checks.
