@@ -325,6 +325,20 @@ class CaseConfig:
         case_name: str = "lid driven cavity",
         bc_label: str = "lid_driven_cavity",
     ) -> "CaseConfig":
+        if settings.fused_step or settings.use_pallas:
+            # the fused kernels are VMEM-resident: the whole working set
+            # (state in/out + face fluxes + temps, ~30 f32 arrays) must fit
+            # the v5e's 128 MiB VMEM. Measured ceiling ~900^2; beyond it,
+            # Mosaic fails at compile time with an opaque allocation error,
+            # so fail here with advice instead.
+            est = (mesh.nx + 2) * (mesh.ny + 2) * 4 * 30
+            if est > 100 * 1024 * 1024:
+                raise ValueError(
+                    f"fused_step/use_pallas: {mesh.nx}x{mesh.ny} needs "
+                    f"~{est / 2**20:.0f} MiB of VMEM (>100 MiB budget). Use "
+                    "pressure_solver='multigrid' (HBM-streamed, any size) "
+                    "for grids beyond ~900^2."
+                )
         return cls(
             mesh=mesh,
             fluid=fluid,

@@ -31,11 +31,30 @@ from .stencil import FaceFluxes
 from .sweeps import stall_update, stalled
 
 
-def _levels(nx: int, ny: int, min_size: int = 8) -> List[Tuple[int, int]]:
+def _levels(nx: int, ny: int, dx: float = 1.0, dy: float = 1.0,
+            min_size: int = 8) -> List[Tuple[int, int]]:
+    """Coarsening schedule with ANISOTROPY-AWARE semi-coarsening.
+
+    Point smoothers only smooth the error along the strongly-coupled
+    (small-spacing) direction; full coarsening of an anisotropic grid
+    aliases the still-oscillatory weak-direction error onto the coarse
+    grid and the correction then AMPLIFIES it (measured on the BFS
+    10x3-domain 400^2 grid, dy/dx = 0.3: V-cycles diverged at +34%/cycle).
+    Standard cure: halve only the strongly-coupled direction until the
+    level is near-isotropic (spacing ratio within 2x), then halve both."""
     sizes = [(nx, ny)]
+    sp = [(dx, dy)]
     while min(sizes[-1]) > min_size:
         nxl, nyl = sizes[-1]
-        sizes.append((max(2, nxl // 2), max(2, nyl // 2)))
+        dxl, dyl = sp[-1]
+        if dxl > 2.0 * dyl and nyl > min_size:      # y strongly coupled
+            nxl2, nyl2 = nxl, max(2, nyl // 2)
+        elif dyl > 2.0 * dxl and nxl > min_size:    # x strongly coupled
+            nxl2, nyl2 = max(2, nxl // 2), nyl
+        else:
+            nxl2, nyl2 = max(2, nxl // 2), max(2, nyl // 2)
+        sizes.append((nxl2, nyl2))
+        sp.append((dxl * nxl / nxl2, dyl * nyl / nyl2))
     return sizes
 
 
@@ -129,7 +148,7 @@ def mg_solve_pressure(
     dtype = p.dtype
     n_cells = nx * ny
 
-    sizes = _levels(nx, ny)
+    sizes = _levels(nx, ny, dx, dy)
     spacings = []
     volp_levels = []
     masks = []
@@ -164,26 +183,27 @@ def mg_solve_pressure(
         return jnp.sqrt(jnp.sum(r * r) / n_cells)
 
     def body(carry):
-        x, best, stale, it = carry
+        x, prev, best, stale, it = carry
         x = cycle(x, b_eff)
         rms = rms_of(x)
         # unified stall policy (ops/sweeps.py); `it` doubles as the check
         # count since rms is evaluated once per cycle. Multigrid residuals
         # drop ~10x/cycle, so on a converging solve STALL_MIN_CHECKS extra
         # cycles are never reached; on a stalled one they cost ~2 cycles.
-        stale, best = stall_update(rms, best, stale)
-        return x, best, stale, it + 1
+        stale, best = stall_update(rms, prev, best, stale)
+        return x, rms, best, stale, it + 1
 
     def cond(carry):
-        x, best, stale, it = carry
+        x, prev, best, stale, it = carry
         return jnp.logical_and(
             jnp.logical_and(it < max_cycles, best >= tol),
             jnp.logical_not(stalled(stale, it)),
         )
 
     big = jnp.asarray(jnp.inf, dtype)
-    x, _, _, cycles = jax.lax.while_loop(
-        cond, body, (x0, big, jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32))
+    zero = jnp.asarray(0, jnp.int32)
+    x, _, _, _, cycles = jax.lax.while_loop(
+        cond, body, (x0, big, big, zero, zero)
     )
     out = p.at[1:-1, 1:-1].set(x)
     if return_count:

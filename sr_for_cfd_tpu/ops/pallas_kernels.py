@@ -95,14 +95,14 @@ def _pressure_kernel(
         return f, jnp.sqrt(ss / n_cells)
 
     def body(carry):
-        f, _, best, stale, checks, it = carry
+        f, prev, best, stale, checks, it = carry
         f = jax.lax.fori_loop(
             0, check_every - 1, lambda _, g: sweep(g, False)[0], f
         )
         f, rms = sweep(f, True)
         # unified stall policy (ops/sweeps.py): exit on the f32 precision
         # floor, but tolerate non-monotone SOR transients
-        stale, best = stall_update(rms, best, stale)
+        stale, best = stall_update(rms, prev, best, stale)
         return f, rms, best, stale, checks + 1, it + check_every
 
     def cond(carry):

@@ -194,16 +194,16 @@ def make_step_kernel(case: CaseConfig, has_bfs: bool):
                 return f, jnp.sqrt(ss / n_cells)
 
             def body(c):
-                f, best, stale, checks, it = c
+                f, prev, best, stale, checks, it = c
                 f = jax.lax.fori_loop(
                     0, m_check - 1, lambda _, g: sweep(g, False)[0], f
                 )
                 f, rms = sweep(f, True)
-                stale, best = stall_update(rms, best, stale)
-                return f, best, stale, checks + 1, it + m_check
+                stale, best = stall_update(rms, prev, best, stale)
+                return f, rms, best, stale, checks + 1, it + m_check
 
             def cond(c):
-                _, best, stale, checks, it = c
+                _, prev, best, stale, checks, it = c
                 return jnp.logical_and(
                     jnp.logical_and(it < max_iter, best >= tol),
                     jnp.logical_not(stalled(stale, checks)),
@@ -211,8 +211,8 @@ def make_step_kernel(case: CaseConfig, has_bfs: bool):
 
             big = jnp.asarray(jnp.inf, f0.dtype)
             zero = jnp.asarray(0, jnp.int32)
-            f, _, _, _, _ = jax.lax.while_loop(
-                cond, body, (f0, big, zero, zero, zero)
+            f, _, _, _, _, _ = jax.lax.while_loop(
+                cond, body, (f0, big, big, zero, zero, zero)
             )
             return f
 
@@ -254,16 +254,16 @@ def make_step_kernel(case: CaseConfig, has_bfs: bool):
             return f, jnp.sqrt(ss / n_cells)
 
         def p_body(c):
-            f, best, stale, checks, it = c
+            f, prev, best, stale, checks, it = c
             f = jax.lax.fori_loop(
                 0, p_check - 1, lambda _, g: p_sweep(g, False)[0], f
             )
             f, rms = p_sweep(f, True)
-            stale, best = stall_update(rms, best, stale)
-            return f, best, stale, checks + 1, it + p_check
+            stale, best = stall_update(rms, prev, best, stale)
+            return f, rms, best, stale, checks + 1, it + p_check
 
         def p_cond(c):
-            _, best, stale, checks, it = c
+            _, prev, best, stale, checks, it = c
             return jnp.logical_and(
                 jnp.logical_and(it < max_iter, best >= tol),
                 jnp.logical_not(stalled(stale, checks)),
@@ -271,8 +271,8 @@ def make_step_kernel(case: CaseConfig, has_bfs: bool):
 
         bigp = jnp.asarray(jnp.inf, p0.dtype)
         zerop = jnp.asarray(0, jnp.int32)
-        p, _, _, _, _ = jax.lax.while_loop(
-            p_cond, p_body, (p0, bigp, zerop, zerop, zerop)
+        p, _, _, _, _, _ = jax.lax.while_loop(
+            p_cond, p_body, (p0, bigp, bigp, zerop, zerop, zerop)
         )
         if alpha["p"] != 1.0:
             p = jnp.where(interior, p0 + alpha["p"] * (p - p0), p)

@@ -121,11 +121,11 @@ def shardmap_solve_pressure(
             return x, jnp.sqrt(ss / n_cells)
 
         def body(carry):
-            x, _, best, stale, it = carry
+            x, prev, best, stale, it = carry
             x, rms = sweep(x)
             # unified stall policy (ops/sweeps.py); check_every == 1 here so
             # `it` doubles as the check count
-            stale, best = stall_update(rms, best, stale)
+            stale, best = stall_update(rms, prev, best, stale)
             return x, rms, best, stale, it + 1
 
         def cond(carry):

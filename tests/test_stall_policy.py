@@ -32,10 +32,13 @@ from sr_for_cfd_tpu.ops.sweeps import (
 def drive(trace, dtype=jnp.float64):
     """Feed an rms trace through the policy; return the 1-based check index
     of the stall exit, or None if the loop would run the trace out."""
+    prev = jnp.asarray(jnp.inf, dtype)
     best = jnp.asarray(jnp.inf, dtype)
     stale = jnp.asarray(0, jnp.int32)
     for checks, rms in enumerate(trace, start=1):
-        stale, best = stall_update(jnp.asarray(rms, dtype), best, stale)
+        rms = jnp.asarray(rms, dtype)
+        stale, best = stall_update(rms, prev, best, stale)
+        prev = rms
         if bool(stalled(stale, checks)):
             return checks
     return None
@@ -48,14 +51,31 @@ def test_single_transient_bump_does_not_exit():
     assert drive([1.0, 0.5, 0.51, 0.2, 0.1, 0.05, 0.01, 0.005]) is None
 
 
+def test_initial_hump_does_not_exit():
+    # BFS's under-relaxed momentum solves rise ABOVE the first check's rms
+    # and then descend for many checks before setting a new low; a
+    # vs-best-only policy exits mid-hump (measured: killed the momentum
+    # solve at 4 sweeps and blew up the BFS outer loop). Descending-vs-prev
+    # checks must HOLD the counter.
+    hump = [1.0, 1.5, 1.45, 1.38, 1.3, 1.2, 1.1, 1.05, 0.99, 0.8, 0.5]
+    assert drive(hump) is None
+
+
 def test_alternating_floor_rattle_exits():
     # measured f64 floor rattle (momentum sweep, 16x16 QUICK): alternating
-    # down/up never improves on the best - a previous-check-based policy
-    # never fires here and burns the cap
+    # down/up never improves on the best - up-checks increment, down-checks
+    # only hold, so the rattle exits (a previous-check-only policy never
+    # fires here and burns the cap)
     tr = [1.0, 0.1, 3.265e-17, 3.256e-17, 3.229e-17,
-          3.257e-17, 3.229e-17, 3.257e-17, 3.229e-17]
+          3.257e-17, 3.229e-17, 3.257e-17, 3.229e-17, 3.257e-17]
     exit_at = drive(tr)
-    assert exit_at is not None and exit_at <= 7
+    assert exit_at is not None and exit_at <= 10
+
+
+def test_slow_but_real_convergence_survives():
+    # 0.5%/check sustained improvement must run to tolerance, not stall
+    tr = [1.0 * (0.995 ** k) for k in range(40)]
+    assert drive(tr) is None
 
 
 def test_no_stall_exit_before_min_checks():
@@ -64,8 +84,8 @@ def test_no_stall_exit_before_min_checks():
     assert drive([1.0] * 20) == max(STALL_MIN_CHECKS, 1 + STALL_PATIENCE)
 
 
-def test_ratio_is_looser_for_f32():
-    assert stall_ratio(jnp.float32) < stall_ratio(jnp.float64)
+def test_ratio_accepts_permille_improvement():
+    assert stall_ratio(jnp.float32) == stall_ratio(jnp.float64) == 0.999
 
 
 def test_momentum_sweep_exits_on_floor_not_cap(rng):
