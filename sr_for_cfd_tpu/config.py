@@ -228,6 +228,15 @@ class SolverSettings:
     plateau_patience: int = 0
     plateau_rtol: float = 0.01
     plateau_check_every: int = 2000
+    # Sustained-convergence requirement: declare convergence only after the
+    # criteria hold for this many CONSECUTIVE outer iterations (1 =
+    # reference semantics, first crossing). f32 residual traces dip
+    # transiently below a loosened criterion long before the flow settles
+    # (measured: a 400^2 cavity crossed u-rms 1.5e-3 at 20k iterations
+    # with the centerline still 2.5% away from its converged shape);
+    # requiring a hold makes loosened f32 criteria trustworthy. Evaluated
+    # in the chunked device loop; the hold must fit within one chunk.
+    convergence_hold: int = 1
     # TPU production runs in float32; float64 is the CPU validation mode.
     dtype: str = "float32"
     # Host round-trip cadence for logging / convergence checks.

@@ -137,7 +137,7 @@ def mg_solve_pressure(
     max_cycles: int = 30,
     n_pre: int = 4,
     n_post: int = 4,
-    smoother_sor: float = 1.3,
+    smoother_sor: float = 1.5,
     return_count: bool = False,
 ) -> jnp.ndarray:
     """Drop-in replacement for `sweeps.solve_pressure`: solves the same

@@ -251,10 +251,17 @@ def run_chunk(
     step = partial(simple_step, case=case, profile=profile, nu=nu)
     use_plateau = st.plateau_patience > 0
     k_check = st.plateau_check_every
+    hold = st.convergence_hold
 
     def body(carry):
-        s, i, ref, stale = carry
+        s, i, ref, stale, held = carry
         s = step(s)
+        if hold > 1:
+            # sustained-criteria convergence: the raw per-step crossing
+            # must persist `hold` consecutive iterations (f32 residual
+            # traces dip transiently below loosened criteria)
+            held = jnp.where(s.converged, held + 1, 0)
+            s = s._replace(converged=held >= hold)
         if use_plateau:
             at_check = (s.count % k_check) == 0
             improved = jnp.any(s.rms < (1.0 - st.plateau_rtol) * ref)
@@ -264,16 +271,16 @@ def run_chunk(
             ref = jnp.where(at_check, jnp.minimum(ref, s.rms), ref)
             plateaued = stale >= st.plateau_patience
             s = s._replace(converged=jnp.logical_or(s.converged, plateaued))
-        return s, i + 1, ref, stale
+        return s, i + 1, ref, stale, held
 
     def cond(carry):
-        s, i, _, _ = carry
+        s, i, _, _, _ = carry
         return jnp.logical_and(i < n_steps, _active(s, st.max_iterations))
 
     ref0 = jnp.full((3,), jnp.inf, state.rms.dtype)
     zero = jnp.asarray(0, jnp.int32)
-    state, _, _, _ = jax.lax.while_loop(
-        cond, body, (state, zero, ref0, zero)
+    state, _, _, _, _ = jax.lax.while_loop(
+        cond, body, (state, zero, ref0, zero, zero)
     )
     return state
 

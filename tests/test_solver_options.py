@@ -145,3 +145,24 @@ def test_device_side_plateau_single_dispatch():
     # it was the device plateau that fired, not the criteria: the f32
     # pressure residual floors well above the 1e-6 criterion
     assert float(np.asarray(s.state.rms)[2]) > 1e-5
+
+
+def test_convergence_hold_rejects_transient_dips():
+    """convergence_hold > 1 requires the criteria to hold for N
+    consecutive iterations: with loosened f32 criteria a transient rms dip
+    must not stop the solve (measured on the 400^2 cavity: first-crossing
+    stopped 2.5% short of the converged centerline)."""
+    from sr_for_cfd_tpu.solver.cases import make_cavity_solver
+
+    kw = dict(Re=400, nx=24, ny=24, dt=2e-3, scheme="UPWIND",
+              dtype="float64", max_iterations=20000, chunk_size=20000,
+              convergence_criteria={"u": 1e-5, "v": 1e-5, "p": 1e-2})
+    first = make_cavity_solver(**kw)
+    i1, _ = first.solve("/tmp/unused_hold1", verbose=False,
+                        save_results=False)
+    held = make_cavity_solver(convergence_hold=200, **kw)
+    i2, _ = held.solve("/tmp/unused_hold2", verbose=False,
+                       save_results=False)
+    # the sustained stop can never fire before the first crossing + hold
+    assert i2 >= i1 + 199
+    assert bool(held.state.converged)
