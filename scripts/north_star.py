@@ -28,13 +28,13 @@ REFERENCE_CPU_ITERS_PER_SEC = 84347 / 3567.5  # 23.64 (BASELINE.md)
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--ml-iterations", type=int, default=30000)
+    ap.add_argument("--ml-iterations", type=int, default=100000)
     ap.add_argument("--normal-iterations", type=int, default=100000)
-    ap.add_argument("--coarse-iterations", type=int, default=100000)
+    ap.add_argument("--coarse-iterations", type=int, default=30000)
     ap.add_argument("--stats-file",
-                    default="artifacts/standardization_stats_10to400_swish_tpu_multiBC.txt")
+                    default="artifacts/standardization_stats_10to400_swish_tpu_bfs.txt")
     ap.add_argument("--model-file",
-                    default="artifacts/vanilla_superres_10to400_swish_tpu_multiBC.msgpack")
+                    default="artifacts/vanilla_superres_10to400_swish_tpu_bfs.msgpack")
     ap.add_argument("--sor", type=float, default=1.9)
     ap.add_argument("--out", default="outputs/north_star")
     args = ap.parse_args()
@@ -61,12 +61,22 @@ def main():
         max_iterations_ml=args.ml_iterations,
         max_iterations_normal=args.normal_iterations,
         stats_file=stats_file, model_file=model_file,
-        use_aspect_ratio_correction=True,
-        use_adaptive_normalization=True, blend_factor=0.3,
+        # with the BFS-trained model the cavity-model crutches (aspect
+        # correction + adaptive normalization) are off; they remain
+        # available for the reference's cavity-model setup
+        use_aspect_ratio_correction="bfs" not in (model_file or ""),
+        use_adaptive_normalization="bfs" not in (model_file or ""),
+        blend_factor=0.3,
         output_dir=args.out, verbose=True,
-        dtype="float32", chunk_size=2000, fused_step=True,
-        pressure_sor=args.sor, plateau_patience=5,
-        coarse_overrides={"chunk_size": 100000},
+        dtype="float32", chunk_size=2000, pressure_solver="multigrid",
+        plateau_patience=5,
+        # both fine runs stop at the same sustained criteria (see
+        # scripts/run_demos.py bfs_north_star for the calibration)
+        convergence_criteria={"u": 6e-4, "v": 6e-4, "p": 0.05},
+        convergence_hold=2000,
+        coarse_overrides={"chunk_size": 100000, "fused_step": True,
+                          "pressure_solver": "sweeps",
+                          "pressure_sor": args.sor},
     )
     total = time.time() - t0
 

@@ -31,6 +31,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 REF_CPU = 84347 / 3567.5  # 23.64 outer-iters/sec (BASELINE.md)
 STATS = "artifacts/standardization_stats_10to400_swish_tpu_multiBC.txt"
 MODEL = "artifacts/vanilla_superres_10to400_swish_tpu_multiBC.msgpack"
+# BFS-specific SR pair (scripts/train_bfs_sr.py) - the reference reused
+# its cavity-trained model for BFS via aspect-ratio correction, which
+# saves only ~10-15% of the fine iterations; a BFS-trained model makes
+# the warm start actually bite
+BFS_STATS = "artifacts/standardization_stats_10to400_swish_tpu_bfs.txt"
+BFS_MODEL = "artifacts/vanilla_superres_10to400_swish_tpu_bfs.msgpack"
 
 
 def nudge(re):
@@ -38,7 +44,7 @@ def nudge(re):
     return re * (1.0 + (time.time() % 1.0) * 2e-5)
 
 
-def run(name, coarse_overrides=None, **kw):
+def run(name, coarse_overrides=None, stats=STATS, model=MODEL, **kw):
     from sr_for_cfd_tpu.workflow.hybrid import run_hybrid_experiment
 
     # the tiny coarse grid is cheapest on the fused point-iteration
@@ -49,8 +55,8 @@ def run(name, coarse_overrides=None, **kw):
     co.update(coarse_overrides or {})
     t0 = time.time()
     r = run_hybrid_experiment(
-        stats_file=STATS if os.path.exists(STATS) else None,
-        model_file=MODEL if os.path.exists(MODEL) else None,
+        stats_file=stats if os.path.exists(stats) else None,
+        model_file=model if os.path.exists(model) else None,
         verbose=False, dtype="float32",
         coarse_overrides=co,
         **kw,
@@ -97,13 +103,24 @@ def main():
         max_iterations_ml=100000, max_iterations_normal=100000,
         output_dir="outputs/demo_cavity_strict", **fine,
     )
+    # BFS-trained model: fed raw (un-resampled, training-stats-normalized)
+    # fields, so the cavity-model crutches (aspect correction, adaptive
+    # normalization) are off. Both fine runs stop at the same sustained
+    # criteria (u-rms 6e-4 held 2000 iterations ~ centerline within ~2% of
+    # its asymptote per the measured drift curve; plateau as backstop).
+    have_bfs_model = os.path.exists(BFS_MODEL)
+    bfs_crit = {"u": 6e-4, "v": 6e-4, "p": 0.05}
     results["bfs_north_star"] = run(
         "bfs_north_star",
         Re=nudge(400), lr_dim=10, hr_dim=400, dt=2e-3, scheme="UPWIND",
         case="bfs", max_iterations_coarse=30000,
-        max_iterations_ml=30000, max_iterations_normal=100000,
-        use_aspect_ratio_correction=True, use_adaptive_normalization=True,
-        blend_factor=0.3, output_dir="outputs/demo_bfs", **fine,
+        max_iterations_ml=100000, max_iterations_normal=100000,
+        stats=BFS_STATS if have_bfs_model else STATS,
+        model=BFS_MODEL if have_bfs_model else MODEL,
+        use_aspect_ratio_correction=not have_bfs_model,
+        use_adaptive_normalization=not have_bfs_model,
+        blend_factor=0.3, output_dir="outputs/demo_bfs",
+        convergence_criteria=bfs_crit, convergence_hold=2000, **fine,
     )
     # acceptance bound: the reference's own marquee BFS budgets (ML 30000
     # vs NORMAL 35000) under reference inner-loop semantics (fused kernel,

@@ -29,6 +29,9 @@ def time_case(n, mode):
     )
     if mode == "multigrid":
         kw["pressure_solver"] = "multigrid"
+    elif mode == "tiled":
+        kw["pressure_solver"] = "tiled"
+        kw["pressure_sor"] = 1.9
     else:
         kw["fused_step"] = True
         kw["pressure_sor"] = 1.9
@@ -54,6 +57,7 @@ def main():
     for n in GRIDS:
         row = {}
         row["multigrid_ms_per_step"] = round(time_case(n, "multigrid"), 3)
+        row["tiled_sweeps_ms_per_step"] = round(time_case(n, "tiled"), 3)
         try:
             row["fused_ms_per_step"] = round(time_case(n, "fused"), 3)
         except ValueError as e:  # VMEM ceiling (config-time validation)

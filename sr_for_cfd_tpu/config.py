@@ -205,9 +205,11 @@ class SolverSettings:
     # Poisson solve an order of magnitude faster - same fixed point).
     pressure_sor: float = 1.0
     # Pressure inner solver: 'sweeps' (reference semantics: capped
-    # point iteration) or 'multigrid' (V-cycles; solves the same system to
+    # point iteration), 'multigrid' (V-cycles; solves the same system to
     # the same tolerance in ~10x fewer sweep-equivalents - performance
-    # mode, jnp path). See ops/multigrid.py.
+    # mode, jnp path; see ops/multigrid.py), or 'tiled' (the sweeps
+    # semantics via the slab-streamed Pallas kernel - one fused HBM pass
+    # per red-black sweep, any grid size; f32; see ops/pallas_tiled.py).
     pressure_solver: str = "sweeps"
     # Outer-loop plateau stopping (0 = off): stop when the residual RMS has
     # not improved by plateau_rtol over plateau_patience consecutive checks
@@ -252,9 +254,14 @@ class SolverSettings:
             raise ValueError(f"Unknown scheme {self.scheme!r}")
         if self.inner_scheme not in ("redblack", "jacobi"):
             raise ValueError(f"Unknown inner scheme {self.inner_scheme!r}")
-        if self.pressure_solver not in ("sweeps", "multigrid"):
+        if self.pressure_solver not in ("sweeps", "multigrid", "tiled"):
             raise ValueError(
                 f"Unknown pressure solver {self.pressure_solver!r}"
+            )
+        if self.pressure_solver == "tiled" and self.dtype != "float32":
+            raise ValueError(
+                "pressure_solver='tiled' is float32-only (Pallas kernel); "
+                "use 'sweeps' or 'multigrid' for float64"
             )
         # fused_step would previously fall back to the jnp path SILENTLY
         # when combined with incompatible options; fail at config time so

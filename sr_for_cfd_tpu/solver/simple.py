@@ -120,6 +120,19 @@ def simple_step(
             p, ff, dx=dx, dy=dy, dt=dt, rho=fluid.rho, volp=volp,
             tol=st.inner_tolerance, return_count=with_counts,
         )
+    elif st.pressure_solver == "tiled":
+        # slab-streamed Pallas kernel: sweeps semantics at any grid size,
+        # one fused HBM pass per red-black sweep (ops/pallas_tiled.py)
+        from ..ops.pallas_tiled import tiled_solve_pressure
+
+        if with_counts:
+            raise ValueError("with_counts unsupported on the tiled path")
+        p = tiled_solve_pressure(
+            p, ff, dx=dx, dy=dy, dt=dt, rho=fluid.rho, volp=volp,
+            tol=st.inner_tolerance, max_iter=st.inner_max_iter,
+            sor=st.pressure_sor,
+            interpret=jax.default_backend() != "tpu",
+        )
     elif st.use_pallas:  # config guarantees f32 + 'sweeps'
         # fused single-launch VMEM-resident kernel (~12x faster per sweep
         # than the XLA while_loop lowering; see ops/pallas_kernels.py)

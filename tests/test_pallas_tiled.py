@@ -45,3 +45,25 @@ def test_tiled_sweep_anisotropic_and_ghosts(rng):
     np.testing.assert_array_equal(np.asarray(got)[0, :], np.asarray(p0)[0, :])
     np.testing.assert_array_equal(np.asarray(got)[:, -1],
                                   np.asarray(p0)[:, -1])
+
+
+def test_tiled_pressure_solver_in_simple_step():
+    """pressure_solver='tiled' through the full solver matches the sweeps
+    path (exit-check granularity differs: tiled checks every sweep)."""
+    from sr_for_cfd_tpu.solver.cases import make_cavity_solver
+
+    kw = dict(Re=100, nx=32, ny=32, dt=2e-3, scheme="UPWIND",
+              dtype="float32", max_iterations=200, chunk_size=200)
+    tiled = make_cavity_solver(pressure_solver="tiled", **kw)
+    tiled.solve("/tmp/unused_tiled", verbose=False, save_results=False)
+    ref = make_cavity_solver(**kw)
+    ref.solve("/tmp/unused_tiledref", verbose=False, save_results=False)
+    np.testing.assert_allclose(np.asarray(tiled.state.u),
+                               np.asarray(ref.state.u), atol=1e-5)
+
+
+def test_tiled_rejects_f64():
+    from sr_for_cfd_tpu.config import SolverSettings
+
+    with pytest.raises(ValueError, match="tiled.*float32"):
+        SolverSettings.make(pressure_solver="tiled", dtype="float64")
