@@ -70,13 +70,12 @@ def main():
         output_dir=args.out, verbose=True,
         dtype="float32", chunk_size=2000, pressure_solver="multigrid",
         plateau_patience=5,
-        # both fine runs stop at the same sustained criteria (see
-        # scripts/run_demos.py bfs_north_star for the calibration)
-        convergence_criteria={"u": 6e-4, "v": 6e-4, "p": 0.05},
-        convergence_hold=2000,
-        coarse_overrides={"chunk_size": 100000, "fused_step": True,
-                          "pressure_solver": "sweeps",
-                          "pressure_sor": args.sor},
+        # both fine runs stop on the same field-Cauchy criterion (the
+        # "converged centerline" test made executable; see run_demos.py)
+        cauchy_tol=5e-3, cauchy_check_every=5000,
+        coarse_overrides={"chunk_size": 100000, "fused_step": False,
+                          "pressure_solver": "sweeps", "pressure_sor": 1.5,
+                          "cauchy_tol": 0.0},
     )
     total = time.time() - t0
 

@@ -239,6 +239,18 @@ class SolverSettings:
     # requiring a hold makes loosened f32 criteria trustworthy. Evaluated
     # in the chunked device loop; the hold must fit within one chunk.
     convergence_hold: int = 1
+    # Field-Cauchy steady-state detection (0 = off): every
+    # cauchy_check_every iterations compare the velocity fields against
+    # their values one window ago and declare convergence when
+    # max|u(t)-u(t-K)| and max|v(t)-v(t-K)| both drop below cauchy_tol.
+    # This is the robust "converged centerline" criterion: f32 residual
+    # traces of these flows OSCILLATE (measured: u-rms swinging 2.6e-4 <->
+    # 1.7e-3 on the 400^2 double-lid cavity while the field drifted
+    # monotonically to its steady state), so rms criteria either flap or
+    # demand unreachable levels, while the field drift is monotone.
+    # Evaluated in the chunked device loop (window restarts per chunk).
+    cauchy_tol: float = 0.0
+    cauchy_check_every: int = 5000
     # TPU production runs in float32; float64 is the CPU validation mode.
     dtype: str = "float32"
     # Host round-trip cadence for logging / convergence checks.

@@ -265,9 +265,11 @@ def run_chunk(
     use_plateau = st.plateau_patience > 0
     k_check = st.plateau_check_every
     hold = st.convergence_hold
+    use_cauchy = st.cauchy_tol > 0.0
+    k_cauchy = st.cauchy_check_every
 
     def body(carry):
-        s, i, ref, stale, held = carry
+        s, i, ref, stale, held, u_ref, v_ref, snap_count = carry
         s = step(s)
         if hold > 1:
             # sustained-criteria convergence: the raw per-step crossing
@@ -275,6 +277,18 @@ def run_chunk(
             # traces dip transiently below loosened criteria)
             held = jnp.where(s.converged, held + 1, 0)
             s = s._replace(converged=held >= hold)
+        if use_cauchy:
+            at_check = (s.count % k_cauchy) == 0
+            du = jnp.max(jnp.abs(s.u - u_ref))
+            dv = jnp.max(jnp.abs(s.v - v_ref))
+            # only a FULL window counts: a chunk boundary inside the
+            # window would otherwise shrink it and fake a small drift
+            full = (s.count - snap_count) >= k_cauchy
+            steady = at_check & full & (du < st.cauchy_tol) & (dv < st.cauchy_tol)
+            u_ref = jnp.where(at_check, s.u, u_ref)
+            v_ref = jnp.where(at_check, s.v, v_ref)
+            snap_count = jnp.where(at_check, s.count, snap_count)
+            s = s._replace(converged=jnp.logical_or(s.converged, steady))
         if use_plateau:
             at_check = (s.count % k_check) == 0
             improved = jnp.any(s.rms < (1.0 - st.plateau_rtol) * ref)
@@ -284,18 +298,19 @@ def run_chunk(
             ref = jnp.where(at_check, jnp.minimum(ref, s.rms), ref)
             plateaued = stale >= st.plateau_patience
             s = s._replace(converged=jnp.logical_or(s.converged, plateaued))
-        return s, i + 1, ref, stale, held
+        return s, i + 1, ref, stale, held, u_ref, v_ref, snap_count
 
     def cond(carry):
-        s, i, _, _, _ = carry
+        s, i = carry[0], carry[1]
         return jnp.logical_and(i < n_steps, _active(s, st.max_iterations))
 
     ref0 = jnp.full((3,), jnp.inf, state.rms.dtype)
     zero = jnp.asarray(0, jnp.int32)
-    state, _, _, _, _ = jax.lax.while_loop(
-        cond, body, (state, zero, ref0, zero, zero)
+    out = jax.lax.while_loop(
+        cond, body,
+        (state, zero, ref0, zero, zero, state.u, state.v, state.count),
     )
-    return state
+    return out[0]
 
 
 # Module-level jitted entry point: the compilation cache is keyed on the

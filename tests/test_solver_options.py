@@ -166,3 +166,25 @@ def test_convergence_hold_rejects_transient_dips():
     # the sustained stop can never fire before the first crossing + hold
     assert i2 >= i1 + 199
     assert bool(held.state.converged)
+
+
+def test_cauchy_steady_state_detection():
+    """Field-Cauchy stop: max|u(t)-u(t-K)| < tol ends the solve once the
+    FIELD stops moving, robust to the oscillating f32 rms traces these
+    flows produce. Must require a full window (no short-window false
+    positives at chunk boundaries)."""
+    from sr_for_cfd_tpu.solver.cases import make_cavity_solver
+
+    kw = dict(Re=100, nx=16, ny=16, dt=2e-3, scheme="UPWIND",
+              dtype="float32", max_iterations=60000, chunk_size=20000,
+              convergence_criteria={"u": 1e-12, "v": 1e-12, "p": 1e-12})
+    s = make_cavity_solver(cauchy_tol=1e-4, cauchy_check_every=500, **kw)
+    its, _ = s.solve("/tmp/unused_cauchy", verbose=False,
+                     save_results=False)
+    assert bool(s.state.converged)
+    assert 1000 <= its < 60000
+    # the field it stopped at matches the long run to the tolerance scale
+    long = make_cavity_solver(**kw)
+    long.solve("/tmp/unused_cauchy_long", verbose=False, save_results=False)
+    np.testing.assert_allclose(np.asarray(s.state.u),
+                               np.asarray(long.state.u), atol=5e-4)
