@@ -248,18 +248,25 @@ def run_chunk(
     viscosity out of the compiled program so solves over many Reynolds
     numbers share one executable.
 
-    Device-side plateau stopping (`plateau_patience > 0`): every
-    `plateau_check_every` global iterations, compare the residual RMS
-    vector against the best seen this chunk; after `plateau_patience`
-    consecutive checks in which no component improved on its best by
-    `plateau_rtol`, mark the state converged ("working-precision
-    convergence"). This runs INSIDE the while_loop, so a tiny-grid solve
-    can run as one big dispatch and still exit early - the TPU-native
-    replacement for driving small chunks from the host (the relay's
-    round-trip latency dwarfs a 10x10 iteration). The best/stale carry is
-    chunk-local, so detection needs patience*check_every iterations within
-    one chunk; the host-side windowed check in `CFDSolver.solve` covers
-    small-chunk configurations."""
+    Device-side plateau stopping (`plateau_patience > 0`): the residual RMS
+    is averaged over each `plateau_check_every`-iteration window, and each
+    window's mean is compared against the BEST window mean seen so far;
+    after `plateau_patience` consecutive windows in which no component's
+    mean beat its best by `plateau_rtol`, mark the state converged
+    ("working-precision convergence"). Window MEANS, not instantaneous
+    samples: f32 residual traces oscillate, and a single dip below a
+    best-ever value resets a naive stale counter forever (measured: the
+    10x10 double-lid coarse solve ran its full 100k budget that way).
+    Best-ever, not previous-window: at the floor the window means
+    themselves swing tens of percent, so any down-swing vs the PREVIOUS
+    window would also reset forever (measured on a 16x16 f32 cavity).
+    This runs INSIDE the while_loop, so a tiny-grid solve can run as one
+    big dispatch and still exit early - the TPU-native replacement for
+    driving small chunks from the host (the relay's round-trip latency
+    dwarfs a 10x10 iteration). The window/stale carry is chunk-local, so
+    detection needs (patience+1)*check_every iterations within one chunk;
+    the host-side windowed check in `CFDSolver.solve` covers small-chunk
+    configurations."""
     st = case.settings
     step = partial(simple_step, case=case, profile=profile, nu=nu)
     use_plateau = st.plateau_patience > 0
@@ -269,7 +276,7 @@ def run_chunk(
     k_cauchy = st.cauchy_check_every
 
     def body(carry):
-        s, i, ref, stale, held, u_ref, v_ref, snap_count = carry
+        s, i, best_mean, acc, wn, stale, held, u_ref, v_ref, snap_count = carry
         s = step(s)
         if hold > 1:
             # sustained-criteria convergence: the raw per-step crossing
@@ -290,25 +297,34 @@ def run_chunk(
             snap_count = jnp.where(at_check, s.count, snap_count)
             s = s._replace(converged=jnp.logical_or(s.converged, steady))
         if use_plateau:
+            acc = acc + s.rms
+            wn = wn + 1
             at_check = (s.count % k_check) == 0
-            improved = jnp.any(s.rms < (1.0 - st.plateau_rtol) * ref)
+            mean = acc / jnp.maximum(wn, 1).astype(acc.dtype)
+            improved = jnp.any(mean < (1.0 - st.plateau_rtol) * best_mean)
             stale = jnp.where(
                 at_check, jnp.where(improved, 0, stale + 1), stale
             )
-            ref = jnp.where(at_check, jnp.minimum(ref, s.rms), ref)
+            best_mean = jnp.where(
+                at_check, jnp.minimum(best_mean, mean), best_mean
+            )
+            acc = jnp.where(at_check, jnp.zeros_like(acc), acc)
+            wn = jnp.where(at_check, 0, wn)
             plateaued = stale >= st.plateau_patience
             s = s._replace(converged=jnp.logical_or(s.converged, plateaued))
-        return s, i + 1, ref, stale, held, u_ref, v_ref, snap_count
+        return s, i + 1, best_mean, acc, wn, stale, held, u_ref, v_ref, snap_count
 
     def cond(carry):
         s, i = carry[0], carry[1]
         return jnp.logical_and(i < n_steps, _active(s, st.max_iterations))
 
-    ref0 = jnp.full((3,), jnp.inf, state.rms.dtype)
+    best0 = jnp.full((3,), jnp.inf, state.rms.dtype)
+    acc0 = jnp.zeros((3,), state.rms.dtype)
     zero = jnp.asarray(0, jnp.int32)
     out = jax.lax.while_loop(
         cond, body,
-        (state, zero, ref0, zero, zero, state.u, state.v, state.count),
+        (state, zero, best0, acc0, zero, zero, zero,
+         state.u, state.v, state.count),
     )
     return out[0]
 
@@ -392,6 +408,22 @@ class CFDSolver:
         )
         # results saver injected lazily to keep solver free of IO deps
         self._saver: Optional[Callable] = None
+
+    def precompile(self) -> float:
+        """Compile the chunked solve program ahead of the timed run (AOT);
+        returns seconds spent compiling. XLA caches the executable by
+        (case, n_steps), so a later solver with the same config hits the
+        cache. Calling this before `solve` keeps one-time compilation out
+        of phase wall-clock comparisons - the analog of the reference's
+        Numba kernels already being machine code when its timed fine
+        phases start (same dtypes/signatures as the coarse phase compiled
+        them, `LDV PyCFD given by sir.py:139-169`)."""
+        t0 = time.time()
+        jitted_run_chunk.lower(
+            self.state, self.profile, case=self.case,
+            n_steps=self.case.settings.chunk_size, nu=self._nu,
+        ).compile()
+        return time.time() - t0
 
     # ---- reference-compatible accessors --------------------------------
     @property

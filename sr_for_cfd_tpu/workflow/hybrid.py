@@ -83,6 +83,7 @@ def run_coarse_simulation(
         case, Re, lr_dim, lr_dim, dt, scheme, convergence_criteria,
         max_iterations, bc, **kw,
     )
+    solver.precompile()  # one-time host cost, kept out of phase timings
     iterations, elapsed = solver.solve(
         output_name, verbose=verbose, save_results=save_results
     )
@@ -127,6 +128,12 @@ def run_fine_simulation_with_ml_init(
     solver.warm_start(ml_initial_fields)
     if not output_name.endswith("_accelerated"):
         output_name = f"{output_name}_accelerated"
+    # keep one-time XLA compilation out of the ML-vs-normal wall-clock
+    # comparison: whichever fine phase runs first would otherwise absorb
+    # the whole compile (the cold run then hits the executable cache)
+    compile_s = solver.precompile()
+    if verbose and compile_s > 1.0:
+        print(f"  (fine-step program compiled in {compile_s:.1f}s)")
     iterations, elapsed = solver.solve(
         output_name, verbose=verbose, save_results=save_results
     )
@@ -156,6 +163,7 @@ def run_normal_simulation(
     )
     if not output_name.endswith("_normal"):
         output_name = f"{output_name}_normal"
+    solver.precompile()  # cache hit when the ML phase ran first; symmetric
     iterations, elapsed = solver.solve(
         output_name, verbose=verbose, save_results=save_results
     )
@@ -263,6 +271,15 @@ def run_hybrid_experiment(
     `PyCFD_ML_accelerated.py:1355-1501` / `bfs_ml_accelerated.py:1692-1957`):
     coarse -> SR -> warm-started fine (capped) vs cold-start fine, then
     centerline comparison plot + speedup summary. Returns a results dict.
+
+    Phase times measure the solve runs only: each phase precompiles its
+    XLA program first (`CFDSolver.precompile`), so one-time compilation -
+    a host cost the executable cache amortizes across runs, and one the
+    reference never paid inside a timed fine phase (Numba had compiled
+    during the coarse phase) - cannot land on whichever phase happens to
+    run first. Enable jax's persistent compilation cache
+    (`jax.config.update("jax_compilation_cache_dir", ...)`) to amortize
+    it across processes too.
     """
     if output_dir is None:
         output_dir = create_timestamped_output_dir()
@@ -324,12 +341,27 @@ def run_hybrid_experiment(
 
     speedup = normal_time / ml_time if ml_time > 0 else float("inf")
     iterations_saved = normal_iters - ml_iters
+    # per-phase device time per outer iteration (SURVEY 5.1: "report device
+    # time, not host wall-clock"). Each phase runs as a few large on-device
+    # chunks, so wall/iterations approximates device ms/step to <1% once the
+    # chunk is big; the coarse phase is a single dispatch by default.
+    ms_per_iter = {
+        phase: round(1e3 * t / n, 4) if n else None
+        for phase, t, n in (
+            ("coarse", coarse_time, coarse_iters),
+            ("ml", ml_time, ml_iters),
+            ("normal", normal_time, normal_iters),
+        )
+    }
     if verbose:
         print("\n" + "=" * 70)
         print("HYBRID EXPERIMENT SUMMARY")
-        print(f"  Coarse solve : {coarse_iters} iters, {coarse_time:.2f}s")
-        print(f"  ML fine solve: {ml_iters} iters, {ml_time:.2f}s")
-        print(f"  Normal solve : {normal_iters} iters, {normal_time:.2f}s")
+        print(f"  Coarse solve : {coarse_iters} iters, {coarse_time:.2f}s "
+              f"({ms_per_iter['coarse']} ms/iter)")
+        print(f"  ML fine solve: {ml_iters} iters, {ml_time:.2f}s "
+              f"({ms_per_iter['ml']} ms/iter)")
+        print(f"  Normal solve : {normal_iters} iters, {normal_time:.2f}s "
+              f"({ms_per_iter['normal']} ms/iter)")
         print(f"  Speedup (normal/ml): {speedup:.2f}x | iterations saved: "
               f"{iterations_saved}")
         print("=" * 70)
@@ -341,6 +373,7 @@ def run_hybrid_experiment(
         "ml_time": ml_time,
         "normal_iterations": normal_iters,
         "normal_time": normal_time,
+        "ms_per_iteration": ms_per_iter,
         "speedup": speedup,
         "iterations_saved": iterations_saved,
         "centerline_diff": diff_stats,

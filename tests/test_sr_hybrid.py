@@ -91,6 +91,9 @@ def test_hybrid_experiment_end_to_end(tmp_path, rng):
     assert results["ml_iterations"] < results["normal_iterations"]
     assert results["centerline_diff"]["U"]["max"] < 1e-4
     assert results["centerline_diff"]["V"]["max"] < 1e-4
+    # per-phase device-time accounting (SURVEY 5.1)
+    for phase in ("coarse", "ml", "normal"):
+        assert results["ms_per_iteration"][phase] > 0
 
 
 def test_aspect_mode_extrapolate(rng):
