@@ -60,6 +60,7 @@ def run(name, coarse_overrides=None, stats=STATS, model=MODEL, **kw):
     # and runs its whole budget as ONE dispatch with device-side plateau
     co = {"pressure_solver": "sweeps", "fused_step": True,
           "pressure_sor": 1.9, "chunk_size": 100000,
+          "inner_max_iter": 128,  # 10x10 floor is ~8 sweeps (see hybrid.py)
           # the coarse grid never converges by criteria (the reference's
           # 10x10 hit its 100k cap, BASELINE.md) - stop when the FIELDS
           # are stationary (drift < 3e-5 per 2000 iters, i.e. f32

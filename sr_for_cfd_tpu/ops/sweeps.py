@@ -52,17 +52,31 @@ ResidualFn = Callable[[jnp.ndarray], Tuple[jnp.ndarray, jnp.ndarray]]
 #   * Slow-but-real convergence (0.1-1%/check) must run to tolerance.
 #
 # Policy: each check lands in one of three states -
-#   new ratio-best           -> stall counter RESETS (real progress);
+#   new margin-best          -> stall counter RESETS (real progress);
 #   descending vs prev check -> counter HOLDS (transient hump descent:
 #                               not yet progress, not yet a stall);
 #   neither                  -> counter INCREMENTS.
 # Exit after STALL_PATIENCE increments without an intervening reset, never
 # before STALL_MIN_CHECKS checks. Floor rattle exits (every up-check
 # increments; down-checks merely hold); humps of any descending length
-# survive; sustained >=(1-ratio)/check convergence always survives.
+# survive; sustained >=(1-STALL_RATIO)/check convergence always survives
+# (each such check is descending -> held -> the loop keeps running to tol).
+#
+# The RESET margin is much wider than the descending margin. Resets gate
+# on beating the best rms seen, and at a noisy f32 floor the running min
+# of the noise keeps drifting down (extreme-value statistics): with a
+# 0.1% reset margin, lucky sub-best samples reset the counter often
+# enough to burn the full iteration cap. Measured on the fused 10x10
+# cavity step: two compiles differing only in nu at the 1e-5 level ran
+# identical trajectories at 0.067 vs 0.656 ms/step (occasionally 4.5),
+# because the f32 pressure floor sits knife-edge at the 1e-6 tolerance
+# and the exit path flipped between tol and stall/cap. A 2% reset margin
+# is above the floor-noise scale, so the floor exits in ~PATIENCE checks;
+# genuinely converging loops are unaffected (descending -> held).
 STALL_PATIENCE = 2
 STALL_MIN_CHECKS = 4
 STALL_RATIO = 0.999
+STALL_RESET_RATIO = 0.98
 
 
 def stall_ratio(dtype) -> float:
@@ -77,7 +91,7 @@ def stall_ratio(dtype) -> float:
 def stall_update(rms, prev, best, stale):
     """One policy step. Returns (stale, best); callers carry `prev` = the
     previous check's rms (start: +inf) and `best` (start: +inf)."""
-    new_best = rms < STALL_RATIO * best
+    new_best = rms < STALL_RESET_RATIO * best
     descending = rms < STALL_RATIO * prev
     stale = jnp.where(
         new_best, 0, jnp.where(descending, stale, stale + 1)

@@ -410,19 +410,35 @@ class CFDSolver:
         self._saver: Optional[Callable] = None
 
     def precompile(self) -> float:
-        """Compile the chunked solve program ahead of the timed run (AOT);
-        returns seconds spent compiling. XLA caches the executable by
-        (case, n_steps), so a later solver with the same config hits the
-        cache. Calling this before `solve` keeps one-time compilation out
-        of phase wall-clock comparisons - the analog of the reference's
-        Numba kernels already being machine code when its timed fine
-        phases start (same dtypes/signatures as the coarse phase compiled
-        them, `LDV PyCFD given by sir.py:139-169`)."""
+        """Compile AND warm the chunked solve program ahead of the timed
+        run; returns seconds spent. Calling this before `solve` keeps
+        one-time program setup out of phase wall-clock comparisons - the
+        analog of the reference's Numba kernels already being machine code
+        when its timed fine phases start (same dtypes/signatures as the
+        coarse phase compiled them, `LDV PyCFD given by sir.py:139-169`).
+
+        `.lower().compile()` alone is NOT enough on a remote/tunneled
+        backend: the first substantial *execution* of a program through
+        the axon relay sometimes stalls in what looks like a ~60s-quantum
+        retry loop (measured 75/130/135/192s walls for dispatches whose
+        device time is <1s; the identical dispatch re-issued immediately
+        after runs in 0.2s). Zero- and one-iteration warmups do NOT absorb
+        it - the stall strikes the first big dispatch - so the warmup here
+        runs a sacrificial few-thousand-iteration chunk on a scratch copy
+        of the state (count pre-advanced so the device loop runs only the
+        tail). The real solve is then the program's second substantial
+        execution. The scratch result is discarded."""
         t0 = time.time()
         jitted_run_chunk.lower(
             self.state, self.profile, case=self.case,
             n_steps=self.case.settings.chunk_size, nu=self._nu,
         ).compile()
+        maxit = self.case.settings.max_iterations
+        warm = self.state._replace(
+            count=jnp.asarray(max(0, maxit - 4096), self.state.count.dtype)
+        )
+        out = self._chunk_fn(warm, self.profile, nu=self._nu)
+        jax.block_until_ready(out)
         return time.time() - t0
 
     # ---- reference-compatible accessors --------------------------------

@@ -297,6 +297,12 @@ def run_hybrid_experiment(
     coarse_kw = dict(kw)
     coarse_kw.setdefault("plateau_patience", 5)
     coarse_kw.setdefault("chunk_size", max_iterations_coarse)
+    # tiny-grid inner solves hit their f32 residual floor in O(10) sweeps
+    # (measured: 8 on 10x10); the floor sits knife-edge at the 1e-6 inner
+    # tolerance, so the exit check can flip to the 1000-sweep cap and burn
+    # ~100x the work for bit-noise. 256 is a >10x margin over any coarse
+    # grid's floor while bounding the damage.
+    coarse_kw.setdefault("inner_max_iter", 256)
     coarse_kw.update(coarse_overrides or {})
     coarse_fields, _, coarse_iters, coarse_time = run_coarse_simulation(
         Re, lr_dim=lr_dim, dt=dt, scheme=scheme,
