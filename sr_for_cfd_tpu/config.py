@@ -251,6 +251,21 @@ class SolverSettings:
     # Evaluated in the chunked device loop (window restarts per chunk).
     cauchy_tol: float = 0.0
     cauchy_check_every: int = 5000
+    # Reduced-rank extrapolation steady-state accelerator (0 = off): every
+    # rre_every iterations snapshot the full state (fields + face fluxes);
+    # after rre_depth+1 snapshots, jump to the affine combination whose
+    # successive differences cancel, then keep iterating (ops/extrapolate
+    # .py). Cuts the 10x10 coarse solve's pseudo-time marching ~2x
+    # (measured 83,493 -> ~40,000 iterations to the same fixed point);
+    # beyond-reference addition - the reference's coarse solves burn their
+    # full 100k budget (BASELINE.md). Runs inside the device loop; a chunk
+    # must span rre_every*(rre_depth+1) iterations for a cycle to fire
+    # (the snapshot buffer is chunk-local, like the plateau carry).
+    # rre_min_count delays the first snapshot past the strongly nonlinear
+    # startup transient where extrapolation can't help.
+    rre_every: int = 0
+    rre_depth: int = 6
+    rre_min_count: int = 0
     # TPU production runs in float32; float64 is the CPU validation mode.
     dtype: str = "float32"
     # Host round-trip cadence for logging / convergence checks.
@@ -269,6 +284,12 @@ class SolverSettings:
         if self.pressure_solver not in ("sweeps", "multigrid", "tiled"):
             raise ValueError(
                 f"Unknown pressure solver {self.pressure_solver!r}"
+            )
+        if self.rre_every > 0 and self.rre_depth < 2:
+            raise ValueError(
+                "rre_depth must be >= 2 (scalar Aitken cannot cancel the "
+                "oscillatory error modes these flows produce; see "
+                "ops/extrapolate.py)"
             )
         if self.pressure_solver == "tiled" and self.dtype != "float32":
             raise ValueError(

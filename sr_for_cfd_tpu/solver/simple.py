@@ -274,10 +274,43 @@ def run_chunk(
     hold = st.convergence_hold
     use_cauchy = st.cauchy_tol > 0.0
     k_cauchy = st.cauchy_check_every
+    use_rre = st.rre_every > 0
+    if use_rre:
+        from ..ops import extrapolate as rre
 
     def body(carry):
-        s, i, best_mean, acc, wn, stale, held, u_ref, v_ref, snap_count = carry
+        (s, i, best_mean, acc, wn, stale, held, u_ref, v_ref, snap_count,
+         buf) = carry
         s = step(s)
+        if use_rre:
+            at_snap = jnp.logical_and(
+                (s.count % st.rre_every) == 0, s.count >= st.rre_min_count
+            )
+            flat = rre.flatten_state(s.u, s.v, s.p, s.ff)
+            buf = jax.tree.map(
+                lambda new, old: jnp.where(at_snap, new, old),
+                rre.push_snapshot(buf, flat), buf,
+            )
+
+            def jump(args):
+                s_in, buf_in = args
+                x_star, ok = rre.rre_extrapolate(buf_in.snaps)
+                u2, v2, p2, ff2 = rre.inject_state(x_star, case, profile)
+                s_out = s_in._replace(
+                    u=u2, v=v2, p=p2,
+                    u_old=u2[1:-1, 1:-1], v_old=v2[1:-1, 1:-1],
+                    p_old=p2[1:-1, 1:-1], ff=ff2,
+                )
+                s_new = jax.tree.map(
+                    lambda a, b: jnp.where(ok, a, b), s_out, s_in
+                )
+                return s_new, buf_in._replace(
+                    count=jnp.asarray(0, jnp.int32)
+                )
+
+            s, buf = jax.lax.cond(
+                buf.count > st.rre_depth, jump, lambda args: args, (s, buf)
+            )
         if hold > 1:
             # sustained-criteria convergence: the raw per-step crossing
             # must persist `hold` consecutive iterations (f32 residual
@@ -312,7 +345,8 @@ def run_chunk(
             wn = jnp.where(at_check, 0, wn)
             plateaued = stale >= st.plateau_patience
             s = s._replace(converged=jnp.logical_or(s.converged, plateaued))
-        return s, i + 1, best_mean, acc, wn, stale, held, u_ref, v_ref, snap_count
+        return (s, i + 1, best_mean, acc, wn, stale, held, u_ref, v_ref,
+                snap_count, buf)
 
     def cond(carry):
         s, i = carry[0], carry[1]
@@ -321,10 +355,17 @@ def run_chunk(
     best0 = jnp.full((3,), jnp.inf, state.rms.dtype)
     acc0 = jnp.zeros((3,), state.rms.dtype)
     zero = jnp.asarray(0, jnp.int32)
+    if use_rre:
+        buf0 = rre.empty_buffer(
+            st.rre_depth, rre.flat_size(case.mesh.nx, case.mesh.ny),
+            state.u.dtype,
+        )
+    else:
+        buf0 = zero  # placeholder carry leaf, never touched
     out = jax.lax.while_loop(
         cond, body,
         (state, zero, best0, acc0, zero, zero, zero,
-         state.u, state.v, state.count),
+         state.u, state.v, state.count, buf0),
     )
     return out[0]
 
