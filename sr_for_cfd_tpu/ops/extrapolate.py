@@ -114,7 +114,12 @@ def rre_extrapolate(
     scale = jnp.maximum(drift, jnp.finfo(snaps.dtype).tiny)
     Dn = D / scale
     G = Dn @ Dn.T  # (K, K)
-    ridge = jnp.asarray(1e-6, G.dtype) * jnp.trace(G) / K
+    # dtype-aware ridge: ~sqrt(eps) relative - large enough to dominate
+    # the inner-product rounding noise of the Gram entries, small enough
+    # not to bias the mode cancellation (kappa(G) = kappa(D)^2 amplifies
+    # the ridge into recovery error)
+    rel = 1e-6 if G.dtype == jnp.float32 else 1e-12
+    ridge = jnp.asarray(rel, G.dtype) * jnp.trace(G) / K
     G = G + ridge * jnp.eye(K, dtype=G.dtype)
     gamma = jnp.linalg.solve(G, jnp.ones((K,), G.dtype))
     c = gamma / jnp.sum(gamma)
