@@ -31,7 +31,7 @@ def main():
         stats_file=stats if os.path.exists(stats) else None,
         model_file=model if os.path.exists(model) else None,
         output_dir="outputs/cavity_hybrid", verbose=True,
-        dtype="float32", chunk_size=2000, fused_step=True,
+        dtype="float32", chunk_size=10000, fused_step=True,
         pressure_sor=1.9, plateau_patience=5,
         coarse_overrides={"chunk_size": 100000},
     )

@@ -68,7 +68,10 @@ def main():
         use_adaptive_normalization="bfs" not in (model_file or ""),
         blend_factor=0.3,
         output_dir=args.out, verbose=True,
-        dtype="float32", chunk_size=2000, pressure_solver="multigrid",
+        # chunk_size must be >= cauchy_check_every or the device-side
+        # Cauchy check never completes a full window (chunk-local
+        # full-window guard) and the plateau backstop pads both runs
+        dtype="float32", chunk_size=10000, pressure_solver="multigrid",
         plateau_patience=5,
         # both fine runs stop on the same field-Cauchy criterion (the
         # "converged centerline" test made executable; see run_demos.py)
