@@ -83,31 +83,49 @@ def run(name, coarse_overrides=None, stats=STATS, model=MODEL, **kw):
           "convergence_hold": 1}
     co.update(coarse_overrides or {})
     t0 = time.time()
-    r = run_hybrid_experiment(
-        stats_file=stats if os.path.exists(stats) else None,
-        model_file=model if os.path.exists(model) else None,
-        verbose=False, dtype="float32",
-        coarse_overrides=co,
-        **kw,
-    )
-    hybrid = r["coarse_time"] + r["ml_time"]
-    ref_s = r["normal_iterations"] / REF_CPU
+    # Best-of-2 per experiment (bench.py-style min-over-reps): the remote
+    # relay intermittently stalls a dispatch in ~60s-quantum retries
+    # (measured 48.1s wall for a coarse solve whose device time is 0.84s,
+    # immediately reproducible at 0.9s). Each rep re-nudges Re, so the
+    # relay's (executable, inputs) result cache cannot fake the rerun;
+    # iterations/fields are physics-identical across reps to ~1e-5.
+    base_re = kw.pop("Re")
+    reps = []
+    for _ in range(2):
+        r = run_hybrid_experiment(
+            Re=nudge(base_re),
+            stats_file=stats if os.path.exists(stats) else None,
+            model_file=model if os.path.exists(model) else None,
+            verbose=False, dtype="float32",
+            coarse_overrides=co,
+            **kw,
+        )
+        reps.append(r)
+    hyb = min(reps, key=lambda r: r["coarse_time"] + r["ml_time"])
+    nrm = min(reps, key=lambda r: r["normal_time"])
+    hybrid = hyb["coarse_time"] + hyb["ml_time"]
+    ref_s = nrm["normal_iterations"] / REF_CPU
     out = {
         "hybrid_wall_s": round(hybrid, 1),
-        "coarse_wall_s": round(r["coarse_time"], 1),
-        "ml_wall_s": round(r["ml_time"], 1),
-        "normal_wall_s": round(r["normal_time"], 1),
+        "coarse_wall_s": round(hyb["coarse_time"], 1),
+        "ml_wall_s": round(hyb["ml_time"], 1),
+        "normal_wall_s": round(nrm["normal_time"], 1),
         "iterations": {
-            "coarse": r["coarse_iterations"],
-            "ml": r["ml_iterations"],
-            "normal": r["normal_iterations"],
+            "coarse": hyb["coarse_iterations"],
+            "ml": hyb["ml_iterations"],
+            "normal": nrm["normal_iterations"],
         },
-        "ms_per_iteration": r.get("ms_per_iteration"),
-        "speedup_vs_own_cold": round(r["normal_time"] / hybrid, 2),
+        "ms_per_iteration": hyb.get("ms_per_iteration"),
+        "wall_s_all_reps": {
+            "hybrid": [round(r["coarse_time"] + r["ml_time"], 1)
+                       for r in reps],
+            "normal": [round(r["normal_time"], 1) for r in reps],
+        },
+        "speedup_vs_own_cold": round(nrm["normal_time"] / hybrid, 2),
         "ref_cpu_normal_est_s": round(ref_s, 1),
         "speedup_vs_ref_cpu": round(ref_s / hybrid, 1),
-        "centerline_diff_U_max": r["centerline_diff"]["U"]["max"],
-        "centerline_diff_V_max": r["centerline_diff"]["V"]["max"],
+        "centerline_diff_U_max": hyb["centerline_diff"]["U"]["max"],
+        "centerline_diff_V_max": hyb["centerline_diff"]["V"]["max"],
         "total_s": round(time.time() - t0, 1),
     }
     print(f"{name}: {json.dumps(out)}", flush=True)
@@ -127,7 +145,7 @@ def main():
     results = {}
     results["cavity_reference_config"] = run(
         "cavity_reference_config",
-        Re=nudge(1000), lr_dim=10, hr_dim=400, dt=1e-3, scheme="QUICK",
+        Re=1000, lr_dim=10, hr_dim=400, dt=1e-3, scheme="QUICK",
         case="double_lid", max_iterations_coarse=100000,
         max_iterations_ml=200, max_iterations_normal=100000,
         output_dir="outputs/demo_cavity_ref", **fine,
@@ -138,7 +156,7 @@ def main():
     # this flow's oscillating f32 residuals), plateau as backstop
     results["cavity_strict_convergence"] = run(
         "cavity_strict_convergence",
-        Re=nudge(1000), lr_dim=10, hr_dim=400, dt=1e-3, scheme="QUICK",
+        Re=1000, lr_dim=10, hr_dim=400, dt=1e-3, scheme="QUICK",
         case="double_lid", max_iterations_coarse=30000,
         max_iterations_ml=100000, max_iterations_normal=100000,
         cauchy_tol=3e-3, cauchy_check_every=5000,
@@ -151,7 +169,7 @@ def main():
     have_bfs_model = os.path.exists(BFS_MODEL)
     results["bfs_north_star"] = run(
         "bfs_north_star",
-        Re=nudge(400), lr_dim=10, hr_dim=400, dt=2e-3, scheme="UPWIND",
+        Re=400, lr_dim=10, hr_dim=400, dt=2e-3, scheme="UPWIND",
         case="bfs", max_iterations_coarse=30000,
         max_iterations_ml=100000, max_iterations_normal=100000,
         stats=BFS_STATS if have_bfs_model else STATS,
@@ -159,7 +177,17 @@ def main():
         use_aspect_ratio_correction=not have_bfs_model,
         use_adaptive_normalization=not have_bfs_model,
         blend_factor=0.3, output_dir="outputs/demo_bfs",
-        cauchy_tol=5e-3, cauchy_check_every=5000,
+        # stopping tolerance at the flow's own asymptotic drift scale:
+        # the BFS 400^2 approaches steady state with a ~70k-iteration
+        # e-folding (measured drift/5k: 0.125 @ 35k - the REFERENCE'S own
+        # marquee budget stops there, at 12% drift - 0.011 @ 95k, still
+        # decaying ~7%/window at the 100k cap). 1.2e-2 stops the cold run
+        # at ~95k, 10x stricter than the reference's effective stopping
+        # point; 5e-3 is unreachable within any 100k budget. (RRE is NOT
+        # used on this flow: extrapolation jumps re-excite its slow
+        # transient instead of cancelling it - measured drift wandering
+        # 0.001<->0.06 for 150k iterations with rre_every=1000.)
+        cauchy_tol=1.2e-2, cauchy_check_every=5000,
         # mirror the training data's coarse solver settings exactly
         # (scripts/train_bfs_sr.py): jnp path, sor 1.5, reference inner
         # caps, no extrapolation (the BFS 10x10 never converges - its
@@ -175,7 +203,7 @@ def main():
     # as in the reference's experiment
     results["bfs_reference_semantics_bound"] = run(
         "bfs_reference_semantics_bound",
-        Re=nudge(400), lr_dim=10, hr_dim=400, dt=2e-3, scheme="UPWIND",
+        Re=400, lr_dim=10, hr_dim=400, dt=2e-3, scheme="UPWIND",
         case="bfs", max_iterations_coarse=100000,
         max_iterations_ml=30000, max_iterations_normal=35000,
         use_aspect_ratio_correction=True, use_adaptive_normalization=True,

@@ -182,7 +182,7 @@ def simple_step(
     # `PyCFD_ML_accelerated.py:481-487`).
     diverged = jnp.logical_not(jnp.all(jnp.isfinite(rms)))
 
-    new_state = SolverState(
+    new_state = state._replace(
         u=u,
         v=v,
         p=p,
@@ -219,7 +219,7 @@ def _fused_step(
         [st.criterion("u"), st.criterion("v"), st.criterion("p")],
         dtype=rms.dtype,
     )
-    return SolverState(
+    return state._replace(
         u=u, v=v, p=p,
         u_old=u[1:-1, 1:-1], v_old=v[1:-1, 1:-1], p_old=p[1:-1, 1:-1],
         ff=ff, rms=rms,
@@ -263,10 +263,14 @@ def run_chunk(
     This runs INSIDE the while_loop, so a tiny-grid solve can run as one
     big dispatch and still exit early - the TPU-native replacement for
     driving small chunks from the host (the relay's round-trip latency
-    dwarfs a 10x10 iteration). The window/stale carry is chunk-local, so
-    detection needs (patience+1)*check_every iterations within one chunk;
-    the host-side windowed check in `CFDSolver.solve` covers small-chunk
-    configurations."""
+    dwarfs a 10x10 iteration). All detector carries (plateau window,
+    Cauchy refs, sustained-hold counter) live in the SolverState itself,
+    so detection is CHUNK-SIZE-INDEPENDENT: windows span chunk boundaries
+    exactly. (The r2.0 demo recordings padded both fine phases with
+    20-70k junk iterations because the then-chunk-local Cauchy window
+    could never complete inside a 2000-iteration chunk.) Only the RRE
+    snapshot buffer remains chunk-local - a cycle needs
+    rre_every*(rre_depth+1) iterations within one chunk."""
     st = case.settings
     step = partial(simple_step, case=case, profile=profile, nu=nu)
     use_plateau = st.plateau_patience > 0
@@ -279,8 +283,7 @@ def run_chunk(
         from ..ops import extrapolate as rre
 
     def body(carry):
-        (s, i, best_mean, acc, wn, stale, held, u_ref, v_ref, snap_count,
-         buf) = carry
+        s, i, buf = carry
         s = step(s)
         if use_rre:
             at_snap = jnp.logical_and(
@@ -315,45 +318,50 @@ def run_chunk(
             # sustained-criteria convergence: the raw per-step crossing
             # must persist `hold` consecutive iterations (f32 residual
             # traces dip transiently below loosened criteria)
-            held = jnp.where(s.converged, held + 1, 0)
-            s = s._replace(converged=held >= hold)
+            held = jnp.where(s.converged, s.held + 1, 0)
+            s = s._replace(converged=held >= hold, held=held)
         if use_cauchy:
             at_check = (s.count % k_cauchy) == 0
-            du = jnp.max(jnp.abs(s.u - u_ref))
-            dv = jnp.max(jnp.abs(s.v - v_ref))
-            # only a FULL window counts: a chunk boundary inside the
-            # window would otherwise shrink it and fake a small drift
-            full = (s.count - snap_count) >= k_cauchy
-            steady = at_check & full & (du < st.cauchy_tol) & (dv < st.cauchy_tol)
-            u_ref = jnp.where(at_check, s.u, u_ref)
-            v_ref = jnp.where(at_check, s.v, v_ref)
-            snap_count = jnp.where(at_check, s.count, snap_count)
-            s = s._replace(converged=jnp.logical_or(s.converged, steady))
+            du = jnp.max(jnp.abs(s.u - s.cau_u_ref))
+            dv = jnp.max(jnp.abs(s.v - s.cau_v_ref))
+            # only a FULL window counts (a warm-started or restored state
+            # mid-window would otherwise shrink it and fake a small drift)
+            full = (s.count - s.cau_count) >= k_cauchy
+            steady = (at_check & full
+                      & (du < st.cauchy_tol) & (dv < st.cauchy_tol))
+            s = s._replace(
+                cau_u_ref=jnp.where(at_check, s.u, s.cau_u_ref),
+                cau_v_ref=jnp.where(at_check, s.v, s.cau_v_ref),
+                cau_count=jnp.where(at_check, s.count, s.cau_count),
+                converged=jnp.logical_or(s.converged, steady),
+            )
         if use_plateau:
-            acc = acc + s.rms
-            wn = wn + 1
+            acc = s.plat_acc + s.rms
+            wn = s.plat_n + 1
             at_check = (s.count % k_check) == 0
             mean = acc / jnp.maximum(wn, 1).astype(acc.dtype)
-            improved = jnp.any(mean < (1.0 - st.plateau_rtol) * best_mean)
+            improved = jnp.any(mean < (1.0 - st.plateau_rtol) * s.plat_best)
             stale = jnp.where(
-                at_check, jnp.where(improved, 0, stale + 1), stale
+                at_check, jnp.where(improved, 0, s.plat_stale + 1),
+                s.plat_stale,
             )
-            best_mean = jnp.where(
-                at_check, jnp.minimum(best_mean, mean), best_mean
+            s = s._replace(
+                plat_best=jnp.where(
+                    at_check, jnp.minimum(s.plat_best, mean), s.plat_best
+                ),
+                plat_acc=jnp.where(at_check, jnp.zeros_like(acc), acc),
+                plat_n=jnp.where(at_check, 0, wn),
+                plat_stale=stale,
+                converged=jnp.logical_or(
+                    s.converged, stale >= st.plateau_patience
+                ),
             )
-            acc = jnp.where(at_check, jnp.zeros_like(acc), acc)
-            wn = jnp.where(at_check, 0, wn)
-            plateaued = stale >= st.plateau_patience
-            s = s._replace(converged=jnp.logical_or(s.converged, plateaued))
-        return (s, i + 1, best_mean, acc, wn, stale, held, u_ref, v_ref,
-                snap_count, buf)
+        return s, i + 1, buf
 
     def cond(carry):
         s, i = carry[0], carry[1]
         return jnp.logical_and(i < n_steps, _active(s, st.max_iterations))
 
-    best0 = jnp.full((3,), jnp.inf, state.rms.dtype)
-    acc0 = jnp.zeros((3,), state.rms.dtype)
     zero = jnp.asarray(0, jnp.int32)
     if use_rre:
         buf0 = rre.empty_buffer(
@@ -362,11 +370,7 @@ def run_chunk(
         )
     else:
         buf0 = zero  # placeholder carry leaf, never touched
-    out = jax.lax.while_loop(
-        cond, body,
-        (state, zero, best0, acc0, zero, zero, zero,
-         state.u, state.v, state.count, buf0),
-    )
+    out = jax.lax.while_loop(cond, body, (state, zero, buf0))
     return out[0]
 
 

@@ -31,6 +31,21 @@ class SolverState(NamedTuple):
     count: jnp.ndarray  # scalar int32, outer iterations completed
     converged: jnp.ndarray  # scalar bool
     diverged: jnp.ndarray  # scalar bool (NaN/Inf guard)
+    # ---- convergence-detector carries ----------------------------------
+    # These live IN the state (not the chunk loop's local carry) so that
+    # plateau / Cauchy / sustained-hold detection works across chunk
+    # boundaries for ANY chunk size. With chunk-local carries a fine run
+    # driven in chunks smaller than a detector window could NEVER fire
+    # its detector (measured: the r2.0 demo recordings padded both fine
+    # phases with 20-70k junk iterations exactly this way).
+    held: jnp.ndarray  # int32: consecutive iterations criteria held
+    plat_best: jnp.ndarray  # (3,) best plateau-window mean rms seen
+    plat_acc: jnp.ndarray  # (3,) current-window rms accumulator
+    plat_n: jnp.ndarray  # int32: iterations in the current window
+    plat_stale: jnp.ndarray  # int32: consecutive non-improving windows
+    cau_u_ref: jnp.ndarray  # (nx+2, ny+2) field at last Cauchy snapshot
+    cau_v_ref: jnp.ndarray
+    cau_count: jnp.ndarray  # int32: iteration of that snapshot
 
     # ---- reference-compatible views -----------------------------------
     def var(self) -> np.ndarray:
@@ -77,6 +92,14 @@ def _finalize(u, v, p, case: CaseConfig, profile) -> SolverState:
         count=jnp.asarray(0, jnp.int32),
         converged=jnp.asarray(False),
         diverged=jnp.asarray(False),
+        held=jnp.asarray(0, jnp.int32),
+        plat_best=jnp.full((3,), jnp.inf, dtype=dt),
+        plat_acc=jnp.zeros((3,), dtype=dt),
+        plat_n=jnp.asarray(0, jnp.int32),
+        plat_stale=jnp.asarray(0, jnp.int32),
+        cau_u_ref=u,
+        cau_v_ref=v,
+        cau_count=jnp.asarray(0, jnp.int32),
     )
 
 
