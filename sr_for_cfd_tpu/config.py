@@ -266,6 +266,15 @@ class SolverSettings:
     rre_every: int = 0
     rre_depth: int = 6
     rre_min_count: int = 0
+    # Multigrid V-cycle shape (pressure_solver='multigrid'). Defaults are
+    # the conservative 4/4 smoother; 2/2 halves the per-cycle cost on
+    # smooth problems. mg_min_size truncates the hierarchy (the sub-128^2
+    # levels are latency-bound on TPU: tiny sequenced ops), trading a
+    # deeper coarsest solve (mg_coarsest_sweeps) for fewer levels.
+    mg_n_pre: int = 4
+    mg_n_post: int = 4
+    mg_min_size: int = 8
+    mg_coarsest_sweeps: int = 40
     # TPU production runs in float32; float64 is the CPU validation mode.
     dtype: str = "float32"
     # Host round-trip cadence for logging / convergence checks.

@@ -99,13 +99,14 @@ def _prolong(e: jnp.ndarray, shape_f: Tuple[int, int]) -> jnp.ndarray:
 
 
 def _v_cycle(x, b, level: int, sizes, spacings, volp_levels, masks,
-             n_pre: int, n_post: int, sor: float):
+             n_pre: int, n_post: int, sor: float, coarsest_sweeps: int = 40):
     inv_dx2, inv_dy2 = spacings[level]
     volp = volp_levels[level]
     red = masks[level]
     if level + 1 >= len(sizes):
         # coarsest level: solve (nearly) exactly - it's tiny
-        return _smooth(x, b, inv_dx2, inv_dy2, volp, red, 40, 1.5)
+        return _smooth(x, b, inv_dx2, inv_dy2, volp, red,
+                       coarsest_sweeps, 1.5)
     x = _smooth(x, b, inv_dx2, inv_dy2, volp, red, n_pre, sor)
     r = b - _laplacian(x, inv_dx2, inv_dy2, volp)
     # the volp-scaled stencil is scale-invariant across levels, so the
@@ -117,7 +118,7 @@ def _v_cycle(x, b, level: int, sizes, spacings, volp_levels, masks,
     r_c = _restrict(r, sizes[level + 1]) * scale
     e_c = _v_cycle(
         jnp.zeros_like(r_c), r_c, level + 1, sizes, spacings,
-        volp_levels, masks, n_pre, n_post, sor,
+        volp_levels, masks, n_pre, n_post, sor, coarsest_sweeps,
     )
     x = x + _prolong(e_c, sizes[level])
     x = _smooth(x, b, inv_dx2, inv_dy2, volp, red, n_post, sor)
@@ -138,6 +139,8 @@ def mg_solve_pressure(
     n_pre: int = 4,
     n_post: int = 4,
     smoother_sor: float = 1.5,
+    min_size: int = 8,
+    coarsest_sweeps: int = 40,
     return_count: bool = False,
 ) -> jnp.ndarray:
     """Drop-in replacement for `sweeps.solve_pressure`: solves the same
@@ -148,7 +151,7 @@ def mg_solve_pressure(
     dtype = p.dtype
     n_cells = nx * ny
 
-    sizes = _levels(nx, ny, dx, dy)
+    sizes = _levels(nx, ny, dx, dy, min_size=min_size)
     spacings = []
     volp_levels = []
     masks = []
@@ -175,7 +178,7 @@ def mg_solve_pressure(
     cycle = partial(
         _v_cycle, level=0, sizes=sizes, spacings=spacings,
         volp_levels=volp_levels, masks=masks, n_pre=n_pre, n_post=n_post,
-        sor=smoother_sor,
+        sor=smoother_sor, coarsest_sweeps=coarsest_sweeps,
     )
 
     def rms_of(x):

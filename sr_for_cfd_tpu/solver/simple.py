@@ -119,6 +119,9 @@ def simple_step(
         p = mg_solve_pressure(
             p, ff, dx=dx, dy=dy, dt=dt, rho=fluid.rho, volp=volp,
             tol=st.inner_tolerance, return_count=with_counts,
+            n_pre=st.mg_n_pre, n_post=st.mg_n_post,
+            min_size=st.mg_min_size,
+            coarsest_sweeps=st.mg_coarsest_sweeps,
         )
     elif st.pressure_solver == "tiled":
         # slab-streamed Pallas kernel: sweeps semantics at any grid size,
