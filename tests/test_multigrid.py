@@ -80,3 +80,26 @@ def test_multigrid_converges_on_anisotropic_grid(rng):
     # the schedule semi-coarsens: the first level halves only y
     sizes = _levels(n, n, dx, dy)
     assert sizes[1] == (n, n // 2)
+
+
+def test_mg_shape_variants_same_solution(rng):
+    """V-cycle shape knobs (2/2 smoothing, truncated hierarchy) change
+    cost, not the solution: all variants solve the same system to the
+    same tolerance."""
+    n = 64
+    u = jnp.asarray(rng.standard_normal((n + 2, n + 2)) * 0.1)
+    v = jnp.asarray(rng.standard_normal((n + 2, n + 2)) * 0.1)
+    p0 = jnp.zeros((n + 2, n + 2))
+    dx = 1.0 / n
+    kw = dict(dx=dx, dy=dx, dt=1e-3, rho=1.0, volp=dx * dx, tol=1e-9)
+    ff = face_fluxes(u, v, dx, dx)
+    ref = mg_solve_pressure(p0, ff, max_cycles=60, **kw)
+    for extra in (dict(n_pre=2, n_post=2),
+                  dict(min_size=24, coarsest_sweeps=80),
+                  dict(n_pre=2, n_post=2, min_size=24,
+                       coarsest_sweeps=80)):
+        out = mg_solve_pressure(p0, ff, max_cycles=120, **kw, **extra)
+        scale = float(jnp.abs(ref).max())
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=2e-5 * scale
+        )
