@@ -314,10 +314,19 @@ class SolverSettings:
             bad = []
             if self.dtype != "float32":
                 bad.append(f"dtype={self.dtype!r} (Pallas kernels are float32)")
-            if self.pressure_solver != "sweeps":
+            # use_pallas composes with 'sweeps' (fused point-iteration
+            # kernel, ops/pallas_kernels.py) and 'multigrid' (fused
+            # V-cycle kernel, ops/pallas_mg.py); fused_step embeds its
+            # own point-iteration pressure loop so it is 'sweeps'-only.
+            allowed = (
+                ("sweeps",) if flag == "fused_step"
+                else ("sweeps", "multigrid")
+            )
+            if self.pressure_solver not in allowed:
                 bad.append(
-                    f"pressure_solver={self.pressure_solver!r} (the Pallas "
-                    "kernels embed their own point-iteration pressure loop)"
+                    f"pressure_solver={self.pressure_solver!r} (with "
+                    f"{flag}, only {' / '.join(map(repr, allowed))} have "
+                    "a fused Pallas kernel)"
                 )
             if bad:
                 raise ValueError(

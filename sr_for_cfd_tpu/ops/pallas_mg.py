@@ -1,0 +1,293 @@
+"""Fully-fused Pallas multigrid pressure solver (single-kernel V-cycles).
+
+The jnp V-cycle (`ops/multigrid.py`) is algorithmically fast but its
+sub-128^2 hierarchy is latency-bound: each of the ~7 unrolled levels issues
+a handful of tiny sequenced XLA ops per smoothing sweep, and on small grids
+the per-op launch/sync overhead dwarfs the VPU work (the round-2 STATUS
+"known gaps" headline-bench lever). This kernel runs the ENTIRE outer
+cycle loop - every level's smoothing, restriction, prolongation, and the
+fine-level convergence check - inside ONE `pallas_call`, with the whole
+hierarchy resident in VMEM (a 400^2 f32 hierarchy totals ~2 MB against
+~16 MB of VMEM).
+
+Design notes (TPU-first):
+- Inter-grid transfer as MATMULS on the MXU. `jax.image.resize(linear)` is
+  a linear operator, so its per-axis action is captured exactly by applying
+  it to an identity matrix once at trace time (`_resize_matrix`); in-kernel
+  restriction/prolongation are then `R @ x @ C^T` dense products - the
+  systolic array's native operation - instead of gather-based resampling
+  (which Mosaic does not support). Numerics match the jnp V-cycle to f32
+  rounding because the operator is literally the same matrix.
+- Levels are interior-shaped (no ghost ring): the frozen-ghost system has
+  homogeneous Dirichlet exterior (ghost contributions are folded into the
+  RHS by the wrapper, exactly as `mg_solve_pressure`), so the Laplacian
+  masks out-of-range neighbors to zero via edge masks + `pltpu.roll`.
+- Same level schedule (anisotropy-aware semi-coarsening), same smoother,
+  same restriction scale, and the same unified stall policy as the jnp
+  path - `pressure_solver='multigrid', use_pallas=True` is a drop-in.
+
+float32 only (TPU native dtype); the f64 validation path keeps the jnp
+V-cycle. Reference semantics: frozen-ghost pressure-Poisson solve per
+`LDV PyCFD given by sir.py:561-583` (solved to tolerance instead of the
+reference's 1000-sweep cap; same fixed point).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .stencil import FaceFluxes
+from .sweeps import stall_update, stalled
+from .multigrid import _levels
+
+
+@functools.lru_cache(maxsize=None)
+def _resize_matrix(n_in: int, n_out: int) -> np.ndarray:
+    """The (n_out, n_in) matrix of `jax.image.resize(..., method='linear')`
+    along one axis. Computed in pure numpy (host, trace time) replicating
+    jax's triangle-kernel weights with antialiasing (the resize default)
+    exactly - see `jax._src.image.scale.compute_weight_mat`; parity with
+    the real resize is asserted in tests/test_pallas_mg.py. (Calling
+    jax.image.resize eagerly here would dispatch tiny ops to whatever
+    device is default - behind a busy TPU queue that took 190 s/matrix.)"""
+    scale = n_out / n_in
+    inv_scale = 1.0 / scale
+    kernel_scale = max(inv_scale, 1.0)  # antialias (jax default)
+    sample_f = (np.arange(n_out) + 0.5) * inv_scale - 0.5
+    x = np.abs(sample_f[None, :] - np.arange(n_in)[:, None]) / kernel_scale
+    w = np.maximum(0.0, 1.0 - x)  # triangle kernel
+    tot = w.sum(axis=0, keepdims=True)
+    w = np.where(
+        np.abs(tot) > 1000.0 * np.finfo(np.float32).eps,
+        w / np.where(tot != 0, tot, 1.0),
+        0.0,
+    )
+    valid = (sample_f >= -0.5) & (sample_f <= n_in - 0.5)
+    w = np.where(valid[None, :], w, 0.0)
+    return np.ascontiguousarray(w.T.astype(np.float32))
+
+
+def _level_consts(n: int, m: int):
+    """Per-level iota-derived masks: red parity + edge-validity for the
+    four neighbor shifts (interior-shaped arrays; rolled-in wraparound
+    values are masked to the homogeneous-Dirichlet zero exterior)."""
+    ii = jax.lax.broadcasted_iota(jnp.int32, (n, m), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (n, m), 1)
+    red = (ii + jj) % 2 == 0
+    e_ok = ii < n - 1
+    w_ok = ii > 0
+    n_ok = jj < m - 1
+    s_ok = jj > 0
+    return red, e_ok, w_ok, n_ok, s_ok
+
+
+def _mg_kernel(
+    x_ref, b_ref, *refs, sizes, spacings, volp_levels, scales, idents,
+    tol, max_cycles, n_pre, n_post, sor, coarsest_sweeps, n_cells,
+):
+    """refs = (R_row, Rc_T, P_row, Pc_T) x (levels-1), then out_ref,
+    cnt_ref. All static metadata arrives via functools.partial."""
+    n_lv = len(sizes)
+    mat_refs, out_ref, cnt_ref = refs[:-2], refs[-2], refs[-1]
+    mats = []
+    k = 0
+    for lvl in range(n_lv - 1):
+        quad = []
+        for which in range(4):
+            if idents[lvl][which]:
+                quad.append(None)  # identity transfer (semi-coarsening)
+            else:
+                quad.append(mat_refs[k][:])
+                k += 1
+        mats.append(quad)
+
+    consts = [_level_consts(n, m) for (n, m) in sizes]
+
+    def lap(f, lvl):
+        inv_dx2, inv_dy2 = spacings[lvl]
+        volp = volp_levels[lvl]
+        n, m = sizes[lvl]
+        _, e_ok, w_ok, n_ok, s_ok = consts[lvl]
+        east = jnp.where(e_ok, pltpu.roll(f, n - 1, 0), 0.0)
+        west = jnp.where(w_ok, pltpu.roll(f, 1, 0), 0.0)
+        north = jnp.where(n_ok, pltpu.roll(f, m - 1, 1), 0.0)
+        south = jnp.where(s_ok, pltpu.roll(f, 1, 1), 0.0)
+        return volp * (
+            (east - 2.0 * f + west) * inv_dx2
+            + (north - 2.0 * f + south) * inv_dy2
+        )
+
+    def smooth(f, b, lvl, n_sweeps, omega):
+        inv_dx2, inv_dy2 = spacings[lvl]
+        inv_ap = omega / (-volp_levels[lvl] * (2.0 * inv_dx2 + 2.0 * inv_dy2))
+        red = consts[lvl][0]
+
+        def sweep(_, f):
+            r = b - lap(f, lvl)
+            f = f + jnp.where(red, r * inv_ap, 0.0)
+            r = b - lap(f, lvl)
+            f = f + jnp.where(red, 0.0, r * inv_ap)
+            return f
+
+        return jax.lax.fori_loop(0, n_sweeps, sweep, f)
+
+    def transfer(x, row, colT):
+        if row is not None:
+            x = jnp.dot(row, x, preferred_element_type=jnp.float32)
+        if colT is not None:
+            x = jnp.dot(x, colT, preferred_element_type=jnp.float32)
+        return x
+
+    def v_cycle(x, b, lvl):
+        if lvl + 1 >= n_lv:
+            return smooth(x, b, lvl, coarsest_sweeps, 1.5)
+        x = smooth(x, b, lvl, n_pre, sor)
+        r = b - lap(x, lvl)
+        r_row, rc_t, p_row, pc_t = mats[lvl]
+        r_c = transfer(r, r_row, rc_t) * scales[lvl]
+        e_c = v_cycle(jnp.zeros(sizes[lvl + 1], jnp.float32), r_c, lvl + 1)
+        x = x + transfer(e_c, p_row, pc_t)
+        x = smooth(x, b, lvl, n_post, sor)
+        return x
+
+    b = b_ref[:]
+    tol32 = jnp.float32(tol)
+
+    def rms_of(x):
+        r = b - lap(x, 0)
+        return jnp.sqrt(jnp.sum(r * r) / n_cells)
+
+    def body(carry):
+        x, prev, best, stale, it = carry
+        x = v_cycle(x, b, 0)
+        rms = rms_of(x)
+        stale, best = stall_update(rms, prev, best, stale)
+        return x, rms, best, stale, it + 1
+
+    def cond(carry):
+        _, _, best, stale, it = carry
+        return jnp.logical_and(
+            jnp.logical_and(it < max_cycles, best >= tol32),
+            jnp.logical_not(stalled(stale, it)),
+        )
+
+    big = jnp.float32(jnp.inf)
+    zero = jnp.asarray(0, jnp.int32)
+    x, _, _, _, cycles = jax.lax.while_loop(
+        cond, body, (x_ref[:], big, big, zero, zero)
+    )
+    out_ref[:] = x
+    cnt_ref[0, 0] = cycles
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "dx", "dy", "dt", "rho", "volp", "tol", "max_cycles", "n_pre",
+        "n_post", "smoother_sor", "min_size", "coarsest_sweeps",
+        "return_count", "interpret",
+    ),
+)
+def pallas_mg_solve_pressure(
+    p: jnp.ndarray,
+    ff: FaceFluxes,
+    *,
+    dx: float,
+    dy: float,
+    dt: float,
+    rho: float,
+    volp: float,
+    tol: float = 1e-6,
+    max_cycles: int = 30,
+    n_pre: int = 4,
+    n_post: int = 4,
+    smoother_sor: float = 1.5,
+    min_size: int = 8,
+    coarsest_sweeps: int = 40,
+    return_count: bool = False,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Drop-in replacement for `multigrid.mg_solve_pressure` (f32): same
+    level schedule, smoother, transfer operators, and stall policy, fused
+    into one kernel launch per pressure solve."""
+    if p.dtype != jnp.float32:
+        raise ValueError("pallas_mg_solve_pressure is float32-only; use "
+                         "mg_solve_pressure for the f64 validation path")
+    nx, ny = p.shape[0] - 2, p.shape[1] - 2
+
+    sizes = tuple(_levels(nx, ny, dx, dy, min_size=min_size))
+    spacings = []
+    volp_levels = []
+    scales = []
+    for lvl, (nxl, nyl) in enumerate(sizes):
+        dxl = dx * nx / nxl
+        dyl = dy * ny / nyl
+        spacings.append((1.0 / (dxl * dxl), 1.0 / (dyl * dyl)))
+        volp_levels.append(volp if lvl == 0 else dxl * dyl)
+        if lvl + 1 < len(sizes):
+            nc, mc = sizes[lvl + 1]
+            scales.append((nxl / nc) * (nyl / mc))
+
+    # Transfer matrices (restriction fine->coarse, prolongation
+    # coarse->fine), one row- and one column-operator per transition;
+    # identity transfers (non-coarsened axis under semi-coarsening) are
+    # skipped entirely.
+    mats = []
+    idents = []
+    for lvl in range(len(sizes) - 1):
+        nf, mf = sizes[lvl]
+        nc, mc = sizes[lvl + 1]
+        quad_ident = (nf == nc, mf == mc, nf == nc, mf == mc)
+        idents.append(quad_ident)
+        if nf != nc:
+            mats.append(_resize_matrix(nf, nc))          # R_row (nc, nf)
+        if mf != mc:
+            mats.append(_resize_matrix(mf, mc).T)        # Rc_T  (mf, mc)
+        if nf != nc:
+            mats.append(_resize_matrix(nc, nf))          # P_row (nf, nc)
+        if mf != mc:
+            mats.append(_resize_matrix(mc, mf).T)        # Pc_T  (mc, mf)
+
+    # RHS with the frozen ghost ring folded in (identical to
+    # mg_solve_pressure: homogeneous-Dirichlet interior system)
+    b_int = (rho / dt) * ff.divergence_sum()
+    ghost_only = p.at[1:-1, 1:-1].set(0.0)
+    inv_dx2, inv_dy2 = spacings[0]
+    lg = volp * (
+        (ghost_only[2:, 1:-1] + ghost_only[:-2, 1:-1]) * inv_dx2
+        + (ghost_only[1:-1, 2:] + ghost_only[1:-1, :-2]) * inv_dy2
+    )
+    b_eff = b_int - lg
+
+    kernel = functools.partial(
+        _mg_kernel,
+        sizes=sizes, spacings=tuple(spacings),
+        volp_levels=tuple(volp_levels), scales=tuple(scales),
+        idents=tuple(idents), tol=tol, max_cycles=max_cycles,
+        n_pre=n_pre, n_post=n_post, sor=smoother_sor,
+        coarsest_sweeps=coarsest_sweeps, n_cells=nx * ny,
+    )
+    space = pl.ANY if interpret else pltpu.VMEM
+    x, cycles = pl.pallas_call(
+        kernel,
+        out_shape=[
+            jax.ShapeDtypeStruct((nx, ny), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+        ],
+        in_specs=[pl.BlockSpec(memory_space=space)] * (2 + len(mats)),
+        out_specs=[
+            pl.BlockSpec(memory_space=space),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        interpret=interpret,
+    )(p[1:-1, 1:-1], b_eff, *mats)
+    out = p.at[1:-1, 1:-1].set(x)
+    if return_count:
+        return out, cycles[0, 0]
+    return out

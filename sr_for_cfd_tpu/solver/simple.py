@@ -79,7 +79,9 @@ def simple_step(
         if with_counts:
             raise ValueError("with_counts unsupported on the fused step")
         return _fused_step(state, case, profile, nu)
-    if with_counts and st.use_pallas:
+    if with_counts and st.use_pallas and st.pressure_solver == "sweeps":
+        # the fused point-iteration kernel doesn't expose its sweep
+        # counter; the fused V-cycle kernel (multigrid) does
         raise ValueError("with_counts unsupported on the pallas pressure path")
     dx, dy, volp, dt = mesh.dx, mesh.dy, mesh.volp, st.dt
     sweep_kw = dict(
@@ -114,15 +116,30 @@ def simple_step(
     # -- pressure ------------------------------------------------------
     ff = face_fluxes(u, v, dx, dy)
     if st.pressure_solver == "multigrid":
-        from ..ops.multigrid import mg_solve_pressure
+        if st.use_pallas:
+            # whole V-cycle loop fused into one VMEM-resident kernel
+            # (ops/pallas_mg.py): same schedule/smoother/stall policy as
+            # the jnp path, minus the per-level XLA launch latency
+            from ..ops.pallas_mg import pallas_mg_solve_pressure
 
-        p = mg_solve_pressure(
-            p, ff, dx=dx, dy=dy, dt=dt, rho=fluid.rho, volp=volp,
-            tol=st.inner_tolerance, return_count=with_counts,
-            n_pre=st.mg_n_pre, n_post=st.mg_n_post,
-            min_size=st.mg_min_size,
-            coarsest_sweeps=st.mg_coarsest_sweeps,
-        )
+            p = pallas_mg_solve_pressure(
+                p, ff, dx=dx, dy=dy, dt=dt, rho=fluid.rho, volp=volp,
+                tol=st.inner_tolerance, return_count=with_counts,
+                n_pre=st.mg_n_pre, n_post=st.mg_n_post,
+                min_size=st.mg_min_size,
+                coarsest_sweeps=st.mg_coarsest_sweeps,
+                interpret=jax.default_backend() != "tpu",
+            )
+        else:
+            from ..ops.multigrid import mg_solve_pressure
+
+            p = mg_solve_pressure(
+                p, ff, dx=dx, dy=dy, dt=dt, rho=fluid.rho, volp=volp,
+                tol=st.inner_tolerance, return_count=with_counts,
+                n_pre=st.mg_n_pre, n_post=st.mg_n_post,
+                min_size=st.mg_min_size,
+                coarsest_sweeps=st.mg_coarsest_sweeps,
+            )
     elif st.pressure_solver == "tiled":
         # slab-streamed Pallas kernel: sweeps semantics at any grid size,
         # one fused HBM pass per red-black sweep (ops/pallas_tiled.py)
