@@ -54,6 +54,51 @@ def train_step(params, opt_state, x_lr, x_hr, model: SuperResolutionAE, tx):
     return params, opt_state, loss
 
 
+@partial(jax.jit, static_argnames=("model", "tx"))
+def _train_block(
+    params, opt_state, best_loss, best_epoch, best_params,
+    x_lr, x_hr, idx, epoch0, model: SuperResolutionAE, tx,
+):
+    """Run a block of epochs entirely on-device.
+
+    `idx` is (E, steps, batch) int32 shuffled sample indices; the whole
+    block is ONE dispatch (scan over epochs, scan over steps) instead of
+    E*steps dispatches each synced by a host `float(loss)` - on the
+    tunneled TPU backend the per-dispatch relay latency (~0.1-1 s) was
+    ~100% of training wall-clock (measured 0.8 s/step for a ~10 ms step;
+    the 500-epoch reference config took over an hour against ~1 min here).
+    Best-epoch tracking (`keep_best`) rides in the carry so the early
+    stopping semantics are identical to the host-loop version. Returns
+    (params, opt_state, best_loss, best_epoch, best_params, epoch_means).
+    """
+
+    def step_body(c, ix):
+        p, o = c
+        p, o, loss = train_step(p, o, x_lr[ix], x_hr[ix], model=model, tx=tx)
+        return (p, o), loss
+
+    def epoch_body(carry, ep_idx):
+        e, params, opt_state, best_loss, best_epoch, best_params = carry
+        (params, opt_state), losses = jax.lax.scan(
+            step_body, (params, opt_state), ep_idx
+        )
+        mean = jnp.mean(losses)
+        better = mean < best_loss
+        best_params = jax.tree.map(
+            lambda a, b: jnp.where(better, a, b), params, best_params
+        )
+        best_loss = jnp.where(better, mean, best_loss)
+        best_epoch = jnp.where(better, e, best_epoch)
+        return (
+            e + 1, params, opt_state, best_loss, best_epoch, best_params
+        ), mean
+
+    carry0 = (epoch0, params, opt_state, best_loss, best_epoch, best_params)
+    carry, means = jax.lax.scan(epoch_body, carry0, idx)
+    _, params, opt_state, best_loss, best_epoch, best_params = carry
+    return params, opt_state, best_loss, best_epoch, best_params, means
+
+
 @dataclass
 class TrainResult:
     params: Dict
@@ -158,10 +203,47 @@ def train_sr_autoencoder(
 
     n = x_lr.shape[0]
     steps = max(1, n // batch_size)
-    step_fn = partial(train_step, model=model, tx=tx)
-
     t0 = time.time()
-    history = []
+    history: List[float] = []
+
+    if mesh is None:
+        # single-device fast path: whole log_every-epoch blocks run as one
+        # on-device scan dispatch (see _train_block); the full dataset
+        # lives in HBM and batches are device-side gathers
+        x_lr_d = jnp.asarray(x_lr)
+        x_hr_d = jnp.asarray(x_hr)
+        best_loss = jnp.asarray(jnp.inf, jnp.float32)
+        best_epoch = jnp.asarray(-1, jnp.int32)
+        best_params = params
+        epoch = 0
+        while epoch < epochs:
+            block = min(log_every, epochs - epoch)
+            idx = np.stack([
+                rng.permutation(n)[: steps * batch_size].reshape(
+                    steps, batch_size
+                )
+                for _ in range(block)
+            ]).astype(np.int32)
+            (params, opt_state, best_loss, best_epoch, best_params,
+             means) = _train_block(
+                params, opt_state, best_loss, best_epoch, best_params,
+                x_lr_d, x_hr_d, jnp.asarray(idx),
+                jnp.asarray(epoch, jnp.int32), model=model, tx=tx,
+            )
+            history.extend(float(m) for m in np.asarray(means))
+            epoch += block
+            if verbose:
+                print(f"  epoch {epoch}/{epochs} "
+                      f"recon_loss={history[-1]:.6f}", flush=True)
+        final_params = best_params if keep_best else params
+        return TrainResult(
+            params=final_params, model=model, loss_history=history,
+            seconds=time.time() - t0, best_epoch=int(best_epoch),
+            best_loss=float(best_loss),
+        )
+
+    # mesh (DP) path: per-step dispatch with explicitly sharded batches
+    step_fn = partial(train_step, model=model, tx=tx)
     best_loss, best_epoch, best_params = float("inf"), -1, params
     for epoch in range(epochs):
         perm = rng.permutation(n)
@@ -170,11 +252,8 @@ def train_sr_autoencoder(
             idx = perm[(s * batch_size) % n : (s * batch_size) % n + batch_size]
             if len(idx) < batch_size:  # wrap-around to keep shapes static
                 idx = np.concatenate([idx, perm[: batch_size - len(idx)]])
-            bx = jnp.asarray(x_lr[idx])
-            by = jnp.asarray(x_hr[idx])
-            if mesh is not None:
-                bx = jax.device_put(bx, bsh)
-                by = jax.device_put(by, bsh)
+            bx = jax.device_put(jnp.asarray(x_lr[idx]), bsh)
+            by = jax.device_put(jnp.asarray(x_hr[idx]), bsh)
             params, opt_state, loss = step_fn(params, opt_state, bx, by)
             epoch_loss += float(loss)
         history.append(epoch_loss / steps)
