@@ -64,6 +64,10 @@ def _build(mode, n_iters):
     )
     if mode == "multigrid":
         kw["pressure_solver"] = "multigrid"
+    elif mode == "mg_pallas":
+        # whole V-cycle loop fused into one kernel (ops/pallas_mg.py)
+        kw["pressure_solver"] = "multigrid"
+        kw["use_pallas"] = True
     else:  # parity: fused Pallas kernel, reference inner semantics
         kw["fused_step"] = jax.default_backend() == "tpu"
     return make_cavity_solver(**kw)
@@ -138,7 +142,18 @@ def _pallas_parity_gate():
     pdiff = float(jnp.max(jnp.abs(a - b)))
     out["pressure_kernel_max_abs_diff"] = pdiff
 
-    out["ok"] = bool(diff <= 1e-5 and pdiff <= 1e-5)
+    # fused V-cycle kernel vs the jnp V-cycle on the same system
+    from sr_for_cfd_tpu.ops.multigrid import mg_solve_pressure
+    from sr_for_cfd_tpu.ops.pallas_mg import pallas_mg_solve_pressure
+
+    mg_kw = dict(dx=dx, dy=dx, dt=1e-3, rho=1.0, volp=dx * dx, tol=1e-6,
+                 max_cycles=20)
+    c = mg_solve_pressure(p0, ff, **mg_kw)
+    d = pallas_mg_solve_pressure(p0, ff, **mg_kw)
+    mgdiff = float(jnp.max(jnp.abs(c - d)))
+    out["mg_kernel_max_abs_diff"] = mgdiff
+
+    out["ok"] = bool(diff <= 1e-5 and pdiff <= 1e-5 and mgdiff <= 1e-5)
     return out
 
 
@@ -248,7 +263,7 @@ def main():
 
     on_tpu = jax.default_backend() == "tpu"
     only = os.environ.get("BENCH_MODE")
-    modes = [only] if only else ["multigrid", "parity"]
+    modes = [only] if only else ["multigrid", "mg_pallas", "parity"]
 
     result = {}
 
@@ -309,7 +324,11 @@ def main():
         result["roofline"]["multigrid_pct_of_v5e_hbm_peak_est"] = round(
             100 * mg_bytes / s_per_step / V5E_HBM_BYTES_PER_S, 2)
 
-    headline = perf.get("multigrid") or perf[modes[0]]
+    # headline = fastest multigrid-family mode (same solve-to-tolerance
+    # algorithm; the fused kernel only removes launch latency)
+    mg_modes = [perf[m] for m in ("mg_pallas", "multigrid") if m in perf]
+    headline = (max(mg_modes, key=lambda d: d["iters_per_sec"])
+                if mg_modes else perf[modes[0]])
     result.update({
         "metric": "cavity_400x400_Re1050_QUICK_outer_iterations_per_sec",
         "value": headline["iters_per_sec"],
