@@ -17,8 +17,9 @@ unit / vs_baseline; everything else is supplementary):
     `parity` (fused Pallas whole-step kernel with the reference's exact
     inner-loop semantics: 1e-6/1000-sweep capped red-black);
   * device_ms_per_step per mode - wall-clock over one BENCH_ITERS-step
-    on-device chunk (a single dispatch, so host/tunnel overhead is
-    amortized to <1%: effectively device time);
+    on-device chunk (a single dispatch with a forced scalar readback; at
+    1000 iterations the ~25 ms relay round trip is <3% of the wall, so
+    this is effectively device time);
   * an on-TPU numerical parity gate for the Pallas kernels (fused step
     and pressure kernel vs the jnp path, atol 1e-5) - interpret-mode CPU
     tests don't cover Mosaic codegen, and this machine has already
@@ -47,7 +48,10 @@ BASELINE_ITERS_PER_SEC = 84347 / 3567.5  # 23.64, reference CPU
 NX = NY = 400
 RE = 1050.0
 DT = 1e-3
-BENCH_ITERS = int(os.environ.get("BENCH_ITERS", 200))
+# 1000-iteration chunks: the tunneled backend adds a ~25 ms round trip
+# per dispatch, which at 200 iterations inflated ms/step by ~20%
+# (measured 0.53 vs 0.41 ms/step at 200 vs 1000). <3% at 1000.
+BENCH_ITERS = int(os.environ.get("BENCH_ITERS", 1000))
 
 V5E_HBM_BYTES_PER_S = 8.1e11
 V5E_VPU_F32_FLOPS_PER_S = 7.9e12  # estimate; see module docstring
@@ -81,9 +85,17 @@ def _time_mode(mode):
 
     from sr_for_cfd_tpu.solver.state import init_state
 
+    import jax.numpy as jnp
+
+    def force(x):
+        # block_until_ready on remote/tunneled arrays can return before
+        # the result landed (see .claude/skills/verify); a scalar readback
+        # is a true sync
+        return float(jnp.sum(x))
+
     solver = _build(mode, BENCH_ITERS)
     state = solver._chunk_fn(solver.state, solver.profile)  # compile+warm
-    jax.block_until_ready(state)
+    force(state.u)
 
     best = float("inf")
     for rep in range(3):
@@ -91,10 +103,10 @@ def _time_mode(mode):
         fresh = fresh._replace(
             u=fresh.u.at[NX // 2, NY // 2].add(1e-7 * (rep + 1))
         )
-        jax.block_until_ready(fresh)
+        force(fresh.u)
         t0 = time.time()
         state = solver._chunk_fn(fresh, solver.profile)
-        jax.block_until_ready(state)
+        force(state.u)
         elapsed = time.time() - t0
         iters = int(state.count)
         if iters == BENCH_ITERS and elapsed / iters > 1e-5:
