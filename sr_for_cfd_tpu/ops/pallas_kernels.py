@@ -68,11 +68,14 @@ def _pressure_kernel(
     tol32 = jnp.asarray(tol, p.dtype)
 
     def residual(f):
-        # pltpu.roll requires non-negative shifts: roll by size-1 == -1
-        east = pltpu.roll(f, shape[0] - 1, 0)
-        west = pltpu.roll(f, 1, 0)
-        north = pltpu.roll(f, shape[1] - 1, 1)
-        south = pltpu.roll(f, 1, 1)
+        # concatenated slices with replicated edges instead of rolls
+        # (measured ~18% cheaper per sweep on v5e, ops/pallas_mg.py);
+        # the replicated values land only in ghost rows/columns, which
+        # the interior masks exclude from every update
+        east = jnp.concatenate([f[1:], f[-1:]], axis=0)
+        west = jnp.concatenate([f[:1], f[:-1]], axis=0)
+        north = jnp.concatenate([f[:, 1:], f[:, -1:]], axis=1)
+        south = jnp.concatenate([f[:, :1], f[:, :-1]], axis=1)
         fd = volp * (
             (east - 2.0 * f + west) * inv_dx2
             + (north - 2.0 * f + south) * inv_dy2

@@ -46,9 +46,23 @@ def _masks(shape):
 
 
 def _roll(f, shift, axis):
-    """pltpu.roll with negative shifts mapped to size - |shift|."""
-    n = f.shape[axis]
-    return pltpu.roll(f, shift % n, axis)
+    """Neighbor shift via concatenated slices with replicated edges
+    (measured ~18% cheaper per sweep than pltpu.roll on v5e; see
+    ops/pallas_mg.py). result[i] = f[i + |shift|] for shift < 0 and
+    f[i - shift] for shift > 0, with out-of-range positions holding the
+    replicated edge value instead of pltpu.roll's wraparound. Every call
+    site consumes only in-range or explicitly clamped positions (ghost
+    rows are update-masked), so the two are interchangeable here."""
+    k = abs(shift)
+    if axis == 0:
+        edge = jnp.concatenate([f[-1:]] * k, axis=0) if shift < 0 else (
+            jnp.concatenate([f[:1]] * k, axis=0))
+        return (jnp.concatenate([f[k:], edge], axis=0) if shift < 0
+                else jnp.concatenate([edge, f[:-k]], axis=0))
+    edge = jnp.concatenate([f[:, -1:]] * k, axis=1) if shift < 0 else (
+        jnp.concatenate([f[:, :1]] * k, axis=1))
+    return (jnp.concatenate([f[:, k:], edge], axis=1) if shift < 0
+            else jnp.concatenate([edge, f[:, :-k]], axis=1))
 
 
 class _Shifts(NamedTuple):
