@@ -72,6 +72,11 @@ def _build(mode, n_iters):
         # whole V-cycle loop fused into one kernel (ops/pallas_mg.py)
         kw["pressure_solver"] = "multigrid"
         kw["use_pallas"] = True
+    elif mode == "fused_mg":
+        # flagship: the entire outer step AND the V-cycle pressure solve
+        # in one kernel (ops/pallas_step.py + ops/pallas_mg.py)
+        kw["pressure_solver"] = "multigrid"
+        kw["fused_step"] = jax.default_backend() == "tpu"
     else:  # parity: fused Pallas kernel, reference inner semantics
         kw["fused_step"] = jax.default_backend() == "tpu"
     return make_cavity_solver(**kw)
@@ -165,18 +170,30 @@ def _pallas_parity_gate():
     mgdiff = float(jnp.max(jnp.abs(c - d)))
     out["mg_kernel_max_abs_diff"] = mgdiff
 
-    out["ok"] = bool(diff <= 1e-5 and pdiff <= 1e-5 and mgdiff <= 1e-5)
+    # fused whole step with the in-kernel V-cycle vs the jnp-multigrid step
+    ref_mg = _run_small(fused=False, mg=True)
+    fused_mg = _run_small(fused=True, mg=True)
+    fmdiff = max(
+        float(jnp.max(jnp.abs(ref_mg.u - fused_mg.u))),
+        float(jnp.max(jnp.abs(ref_mg.v - fused_mg.v))),
+        float(jnp.max(jnp.abs(ref_mg.p - fused_mg.p))),
+    )
+    out["fused_mg_step_max_abs_diff"] = fmdiff
+
+    out["ok"] = bool(diff <= 1e-5 and pdiff <= 1e-5 and mgdiff <= 1e-5
+                     and fmdiff <= 1e-4)
     return out
 
 
-def _run_small(fused):
+def _run_small(fused, mg=False):
     import jax
 
     from sr_for_cfd_tpu.solver.cases import make_cavity_solver
 
+    extra = {"pressure_solver": "multigrid"} if mg else {}
     solver = make_cavity_solver(
         Re=100.0, nx=128, ny=128, dt=1e-3, scheme="QUICK", dtype="float32",
-        max_iterations=2, chunk_size=2, fused_step=fused,
+        max_iterations=2, chunk_size=2, fused_step=fused, **extra,
     )
     state = solver._chunk_fn(solver.state, solver.profile)
     jax.block_until_ready(state)
@@ -275,7 +292,7 @@ def main():
 
     on_tpu = jax.default_backend() == "tpu"
     only = os.environ.get("BENCH_MODE")
-    modes = [only] if only else ["multigrid", "mg_pallas", "parity"]
+    modes = [only] if only else ["multigrid", "mg_pallas", "fused_mg", "parity"]
 
     result = {}
 
@@ -338,7 +355,8 @@ def main():
 
     # headline = fastest multigrid-family mode (same solve-to-tolerance
     # algorithm; the fused kernel only removes launch latency)
-    mg_modes = [perf[m] for m in ("mg_pallas", "multigrid") if m in perf]
+    mg_modes = [perf[m] for m in ("fused_mg", "mg_pallas", "multigrid")
+                if m in perf]
     headline = (max(mg_modes, key=lambda d: d["iters_per_sec"])
                 if mg_modes else perf[modes[0]])
     result.update({

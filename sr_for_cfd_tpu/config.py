@@ -314,14 +314,11 @@ class SolverSettings:
             bad = []
             if self.dtype != "float32":
                 bad.append(f"dtype={self.dtype!r} (Pallas kernels are float32)")
-            # use_pallas composes with 'sweeps' (fused point-iteration
-            # kernel, ops/pallas_kernels.py) and 'multigrid' (fused
-            # V-cycle kernel, ops/pallas_mg.py); fused_step embeds its
-            # own point-iteration pressure loop so it is 'sweeps'-only.
-            allowed = (
-                ("sweeps",) if flag == "fused_step"
-                else ("sweeps", "multigrid")
-            )
+            # both flags compose with 'sweeps' (fused point-iteration
+            # pressure loop: ops/pallas_kernels.py / the loop embedded in
+            # ops/pallas_step.py) and with 'multigrid' (fused V-cycle:
+            # ops/pallas_mg.py, also embedded in the fused step).
+            allowed = ("sweeps", "multigrid")
             if self.pressure_solver not in allowed:
                 bad.append(
                     f"pressure_solver={self.pressure_solver!r} (with "

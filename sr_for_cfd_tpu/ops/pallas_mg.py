@@ -81,14 +81,75 @@ def _level_consts(n: int, m: int):
     return (ii + jj) % 2 == 0
 
 
-def _mg_kernel(
-    x_ref, b_ref, *refs, sizes, spacings, volp_levels, scales, idents,
-    tol, max_cycles, n_pre, n_post, sor, coarsest_sweeps, n_cells,
+class MGPlan:
+    """Static V-cycle hierarchy plan: level sizes/spacings/volumes,
+    restriction scales, identity-transfer flags, and the transfer
+    matrices (numpy, trace-time constants). Built once per (grid,
+    spacing) by `plan_hierarchy`; consumed in-kernel by `mg_while_loop`
+    (which is also reused by the fully-fused step kernel)."""
+
+    def __init__(self, sizes, spacings, volp_levels, scales, idents, mats):
+        self.sizes = sizes
+        self.spacings = spacings
+        self.volp_levels = volp_levels
+        self.scales = scales
+        self.idents = idents
+        self.mats = mats  # flat list of numpy arrays (kernel inputs)
+
+
+def plan_hierarchy(nx, ny, dx, dy, volp, min_size=8) -> MGPlan:
+    """Same schedule/operators as `multigrid.mg_solve_pressure`."""
+    sizes = tuple(_levels(nx, ny, dx, dy, min_size=min_size))
+    spacings = []
+    volp_levels = []
+    scales = []
+    for lvl, (nxl, nyl) in enumerate(sizes):
+        dxl = dx * nx / nxl
+        dyl = dy * ny / nyl
+        spacings.append((1.0 / (dxl * dxl), 1.0 / (dyl * dyl)))
+        volp_levels.append(volp if lvl == 0 else dxl * dyl)
+        if lvl + 1 < len(sizes):
+            nc, mc = sizes[lvl + 1]
+            scales.append((nxl / nc) * (nyl / mc))
+    # Transfer matrices (restriction fine->coarse, prolongation
+    # coarse->fine), one row- and one column-operator per transition;
+    # identity transfers (non-coarsened axis under semi-coarsening) are
+    # skipped entirely.
+    mats = []
+    idents = []
+    for lvl in range(len(sizes) - 1):
+        nf, mf = sizes[lvl]
+        nc, mc = sizes[lvl + 1]
+        idents.append((nf == nc, mf == mc, nf == nc, mf == mc))
+        if nf != nc:
+            mats.append(_resize_matrix(nf, nc))          # R_row (nc, nf)
+        if mf != mc:
+            mats.append(_resize_matrix(mf, mc).T)        # Rc_T  (mf, mc)
+        if nf != nc:
+            mats.append(_resize_matrix(nc, nf))          # P_row (nf, nc)
+        if mf != mc:
+            mats.append(_resize_matrix(mc, mf).T)        # Pc_T  (mc, mf)
+    return MGPlan(sizes, tuple(spacings), tuple(volp_levels),
+                  tuple(scales), tuple(idents), mats)
+
+
+def mg_while_loop(
+    x, b, mat_vals, plan: MGPlan, *,
+    tol, max_cycles, n_pre, n_post, sor, coarsest_sweeps,
 ):
-    """refs = (R_row, Rc_T, P_row, Pc_T) x (levels-1), then out_ref,
-    cnt_ref. All static metadata arrives via functools.partial."""
+    """The in-kernel V-cycle loop on interior-shaped values. `mat_vals`
+    are the transfer matrices already read from refs (or any values), in
+    `plan.mats` order. Returns (x, cycles). Usable from any Pallas
+    kernel (the standalone pressure kernel below and the fused whole-step
+    kernel in ops/pallas_step.py)."""
+    sizes = plan.sizes
+    spacings = plan.spacings
+    volp_levels = plan.volp_levels
+    scales = plan.scales
+    idents = plan.idents
     n_lv = len(sizes)
-    mat_refs, out_ref, cnt_ref = refs[:-2], refs[-2], refs[-1]
+    n_cells = sizes[0][0] * sizes[0][1]
+
     mats = []
     k = 0
     for lvl in range(n_lv - 1):
@@ -97,7 +158,7 @@ def _mg_kernel(
             if idents[lvl][which]:
                 quad.append(None)  # identity transfer (semi-coarsening)
             else:
-                quad.append(mat_refs[k][:])
+                quad.append(mat_vals[k])
                 k += 1
         mats.append(quad)
 
@@ -154,7 +215,6 @@ def _mg_kernel(
         x = smooth(x, b, lvl, n_post, sor)
         return x
 
-    b = b_ref[:]
     tol32 = jnp.float32(tol)
 
     def rms_of(x):
@@ -178,7 +238,22 @@ def _mg_kernel(
     big = jnp.float32(jnp.inf)
     zero = jnp.asarray(0, jnp.int32)
     x, _, _, _, cycles = jax.lax.while_loop(
-        cond, body, (x_ref[:], big, big, zero, zero)
+        cond, body, (x, big, big, zero, zero)
+    )
+    return x, cycles
+
+
+def _mg_kernel(
+    x_ref, b_ref, *refs, plan, tol, max_cycles, n_pre, n_post, sor,
+    coarsest_sweeps,
+):
+    """Standalone pressure kernel: refs = transfer matrices (plan.mats
+    order), then out_ref, cnt_ref."""
+    mat_refs, out_ref, cnt_ref = refs[:-2], refs[-2], refs[-1]
+    x, cycles = mg_while_loop(
+        x_ref[:], b_ref[:], [m[:] for m in mat_refs], plan,
+        tol=tol, max_cycles=max_cycles, n_pre=n_pre, n_post=n_post,
+        sor=sor, coarsest_sweeps=coarsest_sweeps,
     )
     out_ref[:] = x
     cnt_ref[0, 0] = cycles
@@ -218,45 +293,13 @@ def pallas_mg_solve_pressure(
         raise ValueError("pallas_mg_solve_pressure is float32-only; use "
                          "mg_solve_pressure for the f64 validation path")
     nx, ny = p.shape[0] - 2, p.shape[1] - 2
-
-    sizes = tuple(_levels(nx, ny, dx, dy, min_size=min_size))
-    spacings = []
-    volp_levels = []
-    scales = []
-    for lvl, (nxl, nyl) in enumerate(sizes):
-        dxl = dx * nx / nxl
-        dyl = dy * ny / nyl
-        spacings.append((1.0 / (dxl * dxl), 1.0 / (dyl * dyl)))
-        volp_levels.append(volp if lvl == 0 else dxl * dyl)
-        if lvl + 1 < len(sizes):
-            nc, mc = sizes[lvl + 1]
-            scales.append((nxl / nc) * (nyl / mc))
-
-    # Transfer matrices (restriction fine->coarse, prolongation
-    # coarse->fine), one row- and one column-operator per transition;
-    # identity transfers (non-coarsened axis under semi-coarsening) are
-    # skipped entirely.
-    mats = []
-    idents = []
-    for lvl in range(len(sizes) - 1):
-        nf, mf = sizes[lvl]
-        nc, mc = sizes[lvl + 1]
-        quad_ident = (nf == nc, mf == mc, nf == nc, mf == mc)
-        idents.append(quad_ident)
-        if nf != nc:
-            mats.append(_resize_matrix(nf, nc))          # R_row (nc, nf)
-        if mf != mc:
-            mats.append(_resize_matrix(mf, mc).T)        # Rc_T  (mf, mc)
-        if nf != nc:
-            mats.append(_resize_matrix(nc, nf))          # P_row (nf, nc)
-        if mf != mc:
-            mats.append(_resize_matrix(mc, mf).T)        # Pc_T  (mc, mf)
+    plan = plan_hierarchy(nx, ny, dx, dy, volp, min_size=min_size)
 
     # RHS with the frozen ghost ring folded in (identical to
     # mg_solve_pressure: homogeneous-Dirichlet interior system)
     b_int = (rho / dt) * ff.divergence_sum()
     ghost_only = p.at[1:-1, 1:-1].set(0.0)
-    inv_dx2, inv_dy2 = spacings[0]
+    inv_dx2, inv_dy2 = plan.spacings[0]
     lg = volp * (
         (ghost_only[2:, 1:-1] + ghost_only[:-2, 1:-1]) * inv_dx2
         + (ghost_only[1:-1, 2:] + ghost_only[1:-1, :-2]) * inv_dy2
@@ -265,11 +308,9 @@ def pallas_mg_solve_pressure(
 
     kernel = functools.partial(
         _mg_kernel,
-        sizes=sizes, spacings=tuple(spacings),
-        volp_levels=tuple(volp_levels), scales=tuple(scales),
-        idents=tuple(idents), tol=tol, max_cycles=max_cycles,
+        plan=plan, tol=tol, max_cycles=max_cycles,
         n_pre=n_pre, n_post=n_post, sor=smoother_sor,
-        coarsest_sweeps=coarsest_sweeps, n_cells=nx * ny,
+        coarsest_sweeps=coarsest_sweeps,
     )
     space = pl.ANY if interpret else pltpu.VMEM
     x, cycles = pl.pallas_call(
@@ -278,13 +319,13 @@ def pallas_mg_solve_pressure(
             jax.ShapeDtypeStruct((nx, ny), jnp.float32),
             jax.ShapeDtypeStruct((1, 1), jnp.int32),
         ],
-        in_specs=[pl.BlockSpec(memory_space=space)] * (2 + len(mats)),
+        in_specs=[pl.BlockSpec(memory_space=space)] * (2 + len(plan.mats)),
         out_specs=[
             pl.BlockSpec(memory_space=space),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         interpret=interpret,
-    )(p[1:-1, 1:-1], b_eff, *mats)
+    )(p[1:-1, 1:-1], b_eff, *plan.mats)
     out = p.at[1:-1, 1:-1].set(x)
     if return_count:
         return out, cycles[0, 0]

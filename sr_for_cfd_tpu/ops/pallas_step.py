@@ -99,11 +99,31 @@ def make_step_kernel(case: CaseConfig, has_bfs: bool):
     sor = min(st.pressure_sor, optimal_sor(nx, ny))
     alpha = {k: st.relax(k) for k in ("u", "v", "p")}
     quick = st.scheme == QUICK
+    # pressure mode: the reference-semantics point-iteration loop, or the
+    # in-kernel V-cycle (same operators/stall policy as ops/pallas_mg.py;
+    # transfer matrices arrive as extra kernel inputs)
+    use_mg = st.pressure_solver == "multigrid"
+    if use_mg:
+        from .pallas_mg import mg_while_loop, plan_hierarchy
+
+        plan = plan_hierarchy(nx, ny, dx, dy, volp, min_size=st.mg_min_size)
+    else:
+        plan = None
 
     def kernel(u_ref, v_ref, p_ref, fe_ref, fn_ref, fw_ref, fs_ref,
-               uin_ref, below_ref, nu_ref,
-               uo_ref, vo_ref, po_ref, feo_ref, fno_ref, fwo_ref, fso_ref,
-               res_ref):
+               uin_ref, below_ref, nu_ref, *rest):
+        if use_mg:
+            # trailing two entries are interior-shaped VMEM scratch: the
+            # V-cycle's concatenate-based shifts need canonical (offset-0)
+            # vector layouts, which a slice of the padded field does not
+            # have - storing through a ref relayouts it
+            mat_refs, scratch = rest[:-10], rest[-2:]
+            outs = rest[-10:-2]
+        else:
+            mat_refs, scratch = rest[:-8], None
+            outs = rest[-8:]
+        (uo_ref, vo_ref, po_ref, feo_ref, fno_ref, fwo_ref, fso_ref,
+         res_ref) = outs
         # viscosity as a runtime scalar so all Reynolds numbers share one
         # compiled executable
         nu = nu_ref[0, 0]
@@ -250,6 +270,31 @@ def make_step_kernel(case: CaseConfig, has_bfs: bool):
         # ---- pressure-Poisson loop ---------------------------------------
         b = (rho / dt) * (fe + fn + fw + fs)
 
+        def p_solve_mg(p0):
+            """In-kernel V-cycle solve of the same frozen-ghost system
+            (interior unknowns, ghost contributions folded into the RHS -
+            identical to pallas_mg_solve_pressure's wrapper)."""
+            ghost_only = jnp.where(interior, 0.0, p0)
+            lg = volp * (
+                (ghost_only[2:, 1:-1] + ghost_only[:-2, 1:-1]) * inv_dx2
+                + (ghost_only[1:-1, 2:] + ghost_only[1:-1, :-2]) * inv_dy2
+            )
+            x_s, b_s = scratch
+            x_s[:] = p0[1:-1, 1:-1]
+            b_s[:] = b[1:-1, 1:-1] - lg
+            x, _ = mg_while_loop(
+                x_s[:], b_s[:],
+                [m[:] for m in mat_refs], plan,
+                tol=tol, max_cycles=30, n_pre=st.mg_n_pre,
+                n_post=st.mg_n_post, sor=1.5,
+                coarsest_sweeps=st.mg_coarsest_sweeps,
+            )
+            zc = jnp.zeros((nx, 1), jnp.float32)
+            zr = jnp.zeros((1, ny + 2), jnp.float32)
+            xp = jnp.concatenate([zc, x, zc], axis=1)
+            xp = jnp.concatenate([zr, xp, zr], axis=0)
+            return jnp.where(interior, xp, p0)
+
         def p_sweep(f, with_rms):
             def half(f, mask):
                 nb = _nbrs(f)
@@ -283,11 +328,14 @@ def make_step_kernel(case: CaseConfig, has_bfs: bool):
                 jnp.logical_not(stalled(stale, checks)),
             )
 
-        bigp = jnp.asarray(jnp.inf, p0.dtype)
-        zerop = jnp.asarray(0, jnp.int32)
-        p, _, _, _, _, _ = jax.lax.while_loop(
-            p_cond, p_body, (p0, bigp, bigp, zerop, zerop, zerop)
-        )
+        if use_mg:
+            p = p_solve_mg(p0)
+        else:
+            bigp = jnp.asarray(jnp.inf, p0.dtype)
+            zerop = jnp.asarray(0, jnp.int32)
+            p, _, _, _, _, _ = jax.lax.while_loop(
+                p_cond, p_body, (p0, bigp, bigp, zerop, zerop, zerop)
+            )
         if alpha["p"] != 1.0:
             p = jnp.where(interior, p0 + alpha["p"] * (p - p0), p)
         p = bc_p(p)
@@ -323,7 +371,7 @@ def make_step_kernel(case: CaseConfig, has_bfs: bool):
         fso_ref[:] = fs
         res_ref[:] = jnp.stack([res_u, res_v, res_p]).reshape(1, 3)
 
-    return kernel, shape
+    return kernel, shape, plan
 
 
 def pallas_simple_step(
@@ -339,7 +387,8 @@ def pallas_simple_step(
     """Run one fused SIMPLE outer iteration. Returns (u, v, p, FaceFluxes
     interior, res_sums[3]). Inputs: padded fields + interior-shaped fluxes.
     """
-    kernel, shape = make_step_kernel(case, has_bfs=profile is not None)
+    kernel, shape, plan = make_step_kernel(case, has_bfs=profile is not None)
+    mats = plan.mats if plan is not None else []
     dtype = u.dtype
 
     def pad_flux(x):
@@ -369,12 +418,16 @@ def pallas_simple_step(
             [jax.ShapeDtypeStruct(shape, dtype)] * 7
             + [jax.ShapeDtypeStruct((1, 3), dtype)]
         ),
-        in_specs=[pl.BlockSpec(memory_space=vmem)] * 10,
+        in_specs=[pl.BlockSpec(memory_space=vmem)] * (10 + len(mats)),
         out_specs=[pl.BlockSpec(memory_space=vmem)] * 8,
+        scratch_shapes=(
+            [pltpu.VMEM((shape[0] - 2, shape[1] - 2), jnp.float32)] * 2
+            if plan is not None else []
+        ),
         interpret=interpret,
         **kw,
     )(u, v, p, pad_flux(ff.e), pad_flux(ff.n), pad_flux(ff.w), pad_flux(ff.s),
-      u_in, below, nu_arr)
+      u_in, below, nu_arr, *mats)
     u2, v2, p2, fe, fn, fw, fs, res = outs
     ff2 = FaceFluxes(
         e=fe[1:-1, 1:-1], n=fn[1:-1, 1:-1], w=fw[1:-1, 1:-1], s=fs[1:-1, 1:-1]

@@ -57,3 +57,32 @@ def test_fused_step_matches_jnp_step(rng):
             np.testing.assert_allclose(np.asarray(s_f.p), np.asarray(s_j.p), atol=1e-4)
             np.testing.assert_allclose(np.asarray(s_f.ff.e), np.asarray(s_j.ff.e), atol=1e-5)
             s = s_j
+
+
+def test_fused_step_with_multigrid_pressure(rng):
+    """fused_step composes with pressure_solver='multigrid': the in-kernel
+    V-cycle (ops/pallas_mg.mg_while_loop embedded in the step kernel)
+    reproduces the jnp multigrid step."""
+    from sr_for_cfd_tpu.solver.cases import make_bfs_solver, make_cavity_solver
+    from sr_for_cfd_tpu.solver.simple import simple_step
+    from sr_for_cfd_tpu.solver.state import init_state, inlet_profile
+
+    for builder, kw in (
+        (make_cavity_solver, dict(Re=100, nx=16, ny=16, dt=2e-3, scheme="QUICK")),
+        (make_bfs_solver, dict(Re=400, nx=12, ny=10, dt=2e-3, scheme="UPWIND")),
+    ):
+        mg = dict(pressure_solver="multigrid", mg_coarsest_sweeps=10)
+        case_j = builder(dtype="float32", **mg, **kw).case
+        case_f = builder(dtype="float32", fused_step=True, **mg, **kw).case
+        prof = inlet_profile(case_j)
+        s = init_state(case_j)
+        for _ in range(2):
+            s_j = simple_step(s, case_j, prof)
+            s_f = simple_step(s, case_f, prof)
+            np.testing.assert_allclose(
+                np.asarray(s_f.u), np.asarray(s_j.u), atol=1e-5)
+            np.testing.assert_allclose(
+                np.asarray(s_f.v), np.asarray(s_j.v), atol=1e-5)
+            np.testing.assert_allclose(
+                np.asarray(s_f.p), np.asarray(s_j.p), atol=1e-4)
+            s = s_j

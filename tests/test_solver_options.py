@@ -112,16 +112,21 @@ def test_fused_step_incompatible_options_fail_loudly():
 
     from sr_for_cfd_tpu.config import SolverSettings
 
-    with pytest.raises(ValueError, match="fused_step.*multigrid"):
-        SolverSettings.make(fused_step=True, pressure_solver="multigrid",
+    with pytest.raises(ValueError, match="fused_step.*tiled"):
+        SolverSettings.make(fused_step=True, pressure_solver="tiled",
                             dtype="float32")
     with pytest.raises(ValueError, match="fused_step.*float64"):
         SolverSettings.make(fused_step=True, dtype="float64")
     with pytest.raises(ValueError, match="use_pallas.*float64"):
         SolverSettings.make(use_pallas=True, dtype="float64")
-    # the compatible combination still constructs
+    # the compatible combinations still construct ('multigrid' gained a
+    # fused kernel in round 2: ops/pallas_mg.py)
     SolverSettings.make(fused_step=True, dtype="float32",
                         pressure_solver="sweeps")
+    SolverSettings.make(fused_step=True, dtype="float32",
+                        pressure_solver="multigrid")
+    SolverSettings.make(use_pallas=True, dtype="float32",
+                        pressure_solver="multigrid")
 
 
 def test_device_side_plateau_single_dispatch():
