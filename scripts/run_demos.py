@@ -80,8 +80,14 @@ def run(name, coarse_overrides=None, stats=STATS, model=MODEL, **kw):
           # cap-trained SR input distribution, without running 90k
           # no-op iterations. Loose fine-phase criteria must not leak in.
           "cauchy_tol": 3e-5, "cauchy_check_every": 2000,
-          "convergence_hold": 1}
+          "convergence_hold": 1,
+          # 500 outer iterations per kernel LAUNCH: the 10x10 step's
+          # device work is tiny next to the ~16 us per-launch overhead
+          # that dominated the coarse phase (0.0164 ms/iter recorded)
+          "steps_per_kernel": 500}
     co.update(coarse_overrides or {})
+    if not co.get("fused_step", True):
+        co.pop("steps_per_kernel", None)  # multi-step is fused-only
     t0 = time.time()
     # Best-of-2 per experiment (bench.py-style min-over-reps): the remote
     # relay intermittently stalls a dispatch in ~60s-quantum retries
@@ -140,8 +146,10 @@ def main():
     # instead, padding BOTH fine runs with its detection lag - the r1/r2.0
     # recordings show the warm start reaching steady state in ~5k fine
     # iterations yet "running" 32k-72k for exactly this reason.
+    # fused_step + multigrid = the flagship whole-step kernel with the
+    # in-kernel V-cycle (bench fused_mg mode, 0.25 ms/step at 400^2)
     fine = dict(chunk_size=10000, pressure_solver="multigrid",
-                plateau_patience=5)
+                fused_step=True, plateau_patience=5)
     results = {}
     results["cavity_reference_config"] = run(
         "cavity_reference_config",

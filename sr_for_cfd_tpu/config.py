@@ -284,6 +284,14 @@ class SolverSettings:
     # iteration into one kernel (fastest; float32, single-device).
     use_pallas: bool = False
     fused_step: bool = False
+    # Multi-step fused kernel (fused_step only): run this many outer
+    # iterations per kernel LAUNCH. On tiny grids the per-launch overhead
+    # (~16 us measured on the 10x10 coarse phase) dwarfs the device work;
+    # K launches' worth of stepping in one launch amortizes it K-fold.
+    # Convergence flags and detector checks are evaluated every K
+    # iterations, so K must divide the active detector cadences (enforced
+    # below); a solve can overshoot its exact stopping iteration by < K.
+    steps_per_kernel: int = 1
 
     def __post_init__(self):
         if self.scheme not in (QUICK, UPWIND):
@@ -300,6 +308,33 @@ class SolverSettings:
                 "oscillatory error modes these flows produce; see "
                 "ops/extrapolate.py)"
             )
+        if self.steps_per_kernel > 1:
+            if not self.fused_step:
+                raise ValueError(
+                    "steps_per_kernel > 1 requires fused_step=True (it is "
+                    "a property of the fused Pallas kernel)"
+                )
+            if self.convergence_hold > 1:
+                raise ValueError(
+                    "steps_per_kernel > 1 is incompatible with "
+                    "convergence_hold > 1 (the hold counts per-iteration "
+                    "crossings, which a multi-step kernel cannot observe)"
+                )
+            cadences = [("chunk_size", self.chunk_size)]
+            if self.cauchy_tol > 0.0:
+                cadences.append(("cauchy_check_every", self.cauchy_check_every))
+            if self.plateau_patience > 0:
+                cadences.append(
+                    ("plateau_check_every", self.plateau_check_every))
+            if self.rre_every > 0:
+                cadences.append(("rre_every", self.rre_every))
+            for name, v in cadences:
+                if v % self.steps_per_kernel != 0:
+                    raise ValueError(
+                        f"steps_per_kernel={self.steps_per_kernel} must "
+                        f"divide {name}={v} (detector checks run once per "
+                        "kernel launch and fire on exact multiples)"
+                    )
         if self.pressure_solver == "tiled" and self.dtype != "float32":
             raise ValueError(
                 "pressure_solver='tiled' is float32-only (Pallas kernel); "

@@ -243,7 +243,9 @@ def _fused_step(
         u=u, v=v, p=p,
         u_old=u[1:-1, 1:-1], v_old=v[1:-1, 1:-1], p_old=p[1:-1, 1:-1],
         ff=ff, rms=rms,
-        count=state.count + 1,
+        # the fused kernel runs steps_per_kernel outer iterations per
+        # launch (config-validated to divide the detector cadences)
+        count=state.count + st.steps_per_kernel,
         converged=jnp.all(rms <= crit),
         diverged=jnp.logical_not(jnp.all(jnp.isfinite(rms))),
     )
@@ -293,6 +295,7 @@ def run_chunk(
     rre_every*(rre_depth+1) iterations within one chunk."""
     st = case.settings
     step = partial(simple_step, case=case, profile=profile, nu=nu)
+    k_per_call = st.steps_per_kernel if st.fused_step else 1
     use_plateau = st.plateau_patience > 0
     k_check = st.plateau_check_every
     hold = st.convergence_hold
@@ -376,7 +379,7 @@ def run_chunk(
                     s.converged, stale >= st.plateau_patience
                 ),
             )
-        return s, i + 1, buf
+        return s, i + k_per_call, buf
 
     def cond(carry):
         s, i = carry[0], carry[1]

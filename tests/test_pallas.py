@@ -86,3 +86,46 @@ def test_fused_step_with_multigrid_pressure(rng):
             np.testing.assert_allclose(
                 np.asarray(s_f.p), np.asarray(s_j.p), atol=1e-4)
             s = s_j
+
+
+def test_multi_step_kernel_bit_exact():
+    """steps_per_kernel=K runs K outer iterations per kernel launch and is
+    bit-exact vs K single-step launches (same op sequence, no re-entry
+    through HBM in between)."""
+    import jax.numpy as jnp
+
+    from sr_for_cfd_tpu.solver.cases import make_cavity_solver
+    from sr_for_cfd_tpu.solver.simple import jitted_run_chunk
+    from sr_for_cfd_tpu.solver.state import init_state, inlet_profile
+
+    kw = dict(Re=100, nx=16, ny=16, dt=2e-3, scheme="QUICK",
+              dtype="float32", pressure_solver="sweeps", pressure_sor=1.5,
+              inner_max_iter=16, max_iterations=64, chunk_size=64)
+    c1 = make_cavity_solver(fused_step=True, **kw).case
+    c4 = make_cavity_solver(fused_step=True, steps_per_kernel=4, **kw).case
+    prof = inlet_profile(c1)
+    s1 = jitted_run_chunk(init_state(c1), prof, case=c1, n_steps=64)
+    s4 = jitted_run_chunk(init_state(c4), prof, case=c4, n_steps=64)
+    assert int(s1.count) == int(s4.count) == 64
+    np.testing.assert_array_equal(np.asarray(s1.u), np.asarray(s4.u))
+    np.testing.assert_array_equal(np.asarray(s1.p), np.asarray(s4.p))
+    np.testing.assert_array_equal(np.asarray(s1.rms), np.asarray(s4.rms))
+
+
+def test_multi_step_kernel_config_validation():
+    import pytest
+
+    from sr_for_cfd_tpu.config import SolverSettings
+
+    with pytest.raises(ValueError, match="requires fused_step"):
+        SolverSettings.make(steps_per_kernel=4)
+    with pytest.raises(ValueError, match="must divide chunk_size"):
+        SolverSettings.make(fused_step=True, steps_per_kernel=3,
+                            chunk_size=100)
+    with pytest.raises(ValueError, match="must divide cauchy_check_every"):
+        SolverSettings.make(fused_step=True, steps_per_kernel=400,
+                            chunk_size=2000, cauchy_tol=1e-4,
+                            cauchy_check_every=1000)
+    SolverSettings.make(fused_step=True, steps_per_kernel=500,
+                        chunk_size=100000, cauchy_tol=3e-5,
+                        cauchy_check_every=2000, rre_every=1000)
