@@ -69,9 +69,10 @@ def _build(mode, n_iters):
     if mode == "multigrid":
         kw["pressure_solver"] = "multigrid"
     elif mode == "mg_pallas":
-        # whole V-cycle loop fused into one kernel (ops/pallas_mg.py)
+        # whole V-cycle loop fused into one kernel (ops/pallas_mg.py);
+        # off-TPU the kernel would run in interpret mode (minutes/step)
         kw["pressure_solver"] = "multigrid"
-        kw["use_pallas"] = True
+        kw["use_pallas"] = jax.default_backend() == "tpu"
     elif mode == "fused_mg":
         # flagship: the entire outer step AND the V-cycle pressure solve
         # in one kernel (ops/pallas_step.py + ops/pallas_mg.py)
@@ -292,7 +293,9 @@ def main():
 
     on_tpu = jax.default_backend() == "tpu"
     only = os.environ.get("BENCH_MODE")
-    modes = [only] if only else ["multigrid", "mg_pallas", "fused_mg", "parity"]
+    default_modes = (["multigrid", "mg_pallas", "fused_mg", "parity"]
+                     if on_tpu else ["multigrid", "parity"])
+    modes = [only] if only else default_modes
 
     result = {}
 

@@ -308,6 +308,9 @@ class SolverSettings:
                 "oscillatory error modes these flows produce; see "
                 "ops/extrapolate.py)"
             )
+        if self.steps_per_kernel < 1:
+            # 0 would freeze the chunk loop: count/i advance by this value
+            raise ValueError("steps_per_kernel must be >= 1")
         if self.steps_per_kernel > 1:
             if not self.fused_step:
                 raise ValueError(

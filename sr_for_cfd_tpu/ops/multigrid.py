@@ -69,6 +69,20 @@ def _laplacian(x: jnp.ndarray, inv_dx2: float, inv_dy2: float, volp: float):
     )
 
 
+def ghost_fold(ghost_only, inv_dx2, inv_dy2, volp):
+    """Ghost-ring contribution to the interior RHS of the frozen-ghost
+    pressure system (off-diagonal Laplacian terms of the ghost values).
+    `ghost_only` is the padded field with the interior zeroed; subtracting
+    the result from the divergence RHS leaves a homogeneous-Dirichlet
+    interior system. Single source of truth for the jnp V-cycle, the
+    standalone Pallas MG kernel, and the fused-step kernel's embedded
+    solve (plain jnp ops, callable inside Mosaic)."""
+    return volp * (
+        (ghost_only[2:, 1:-1] + ghost_only[:-2, 1:-1]) * inv_dx2
+        + (ghost_only[1:-1, 2:] + ghost_only[1:-1, :-2]) * inv_dy2
+    )
+
+
 def _red_mask(nx: int, ny: int):
     ii = jax.lax.broadcasted_iota(jnp.int32, (nx, ny), 0)
     jj = jax.lax.broadcasted_iota(jnp.int32, (nx, ny), 1)
@@ -168,11 +182,7 @@ def mg_solve_pressure(
     b = (rho / dt) * ff.divergence_sum()
     ghost_only = p.at[1:-1, 1:-1].set(0.0)
     inv_dx2, inv_dy2 = spacings[0]
-    lg = volp * (
-        (ghost_only[2:, 1:-1] + ghost_only[:-2, 1:-1]) * inv_dx2
-        + (ghost_only[1:-1, 2:] + ghost_only[1:-1, :-2]) * inv_dy2
-    )
-    b_eff = b - lg
+    b_eff = b - ghost_fold(ghost_only, inv_dx2, inv_dy2, volp)
 
     x0 = p[1:-1, 1:-1]
     cycle = partial(

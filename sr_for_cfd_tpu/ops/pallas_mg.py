@@ -44,7 +44,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .stencil import FaceFluxes
 from .sweeps import stall_update, stalled
-from .multigrid import _levels
+from .multigrid import _levels, ghost_fold
 
 
 @functools.lru_cache(maxsize=None)
@@ -300,11 +300,7 @@ def pallas_mg_solve_pressure(
     b_int = (rho / dt) * ff.divergence_sum()
     ghost_only = p.at[1:-1, 1:-1].set(0.0)
     inv_dx2, inv_dy2 = plan.spacings[0]
-    lg = volp * (
-        (ghost_only[2:, 1:-1] + ghost_only[:-2, 1:-1]) * inv_dx2
-        + (ghost_only[1:-1, 2:] + ghost_only[1:-1, :-2]) * inv_dy2
-    )
-    b_eff = b_int - lg
+    b_eff = b_int - ghost_fold(ghost_only, inv_dx2, inv_dy2, volp)
 
     kernel = functools.partial(
         _mg_kernel,

@@ -10,9 +10,10 @@ granularity from the hot path; per-step cost collapses to the raw VPU sweep
 work (dominated by the up-to-1000-sweep pressure loop).
 
 Layout rules inside the kernel: all arrays are full padded shape
-(nx+2, ny+2); neighbor access is `pltpu.roll` (non-negative shifts only);
-every update and reduction is masked to the interior, so roll wrap-around
-at the ghost ring never contaminates results. QUICK's +-2 far neighbors are
+(nx+2, ny+2); neighbor access is `_roll` - concatenated slices with
+REPLICATED edges (cheaper than pltpu.roll on the VPU); every update and
+reduction is masked to the interior, so the replicated edge values in
+ghost positions never contaminate results. QUICK's +-2 far neighbors are
 edge-clamped at the first/last interior line via iota masks, matching
 `ops.stencil.shifts2` (the reference reads out of bounds there - see
 SURVEY.md section 7 "hard parts").
@@ -105,6 +106,7 @@ def make_step_kernel(case: CaseConfig, has_bfs: bool):
     # transfer matrices arrive as extra kernel inputs)
     use_mg = st.pressure_solver == "multigrid"
     if use_mg:
+        from .multigrid import ghost_fold
         from .pallas_mg import mg_while_loop, plan_hierarchy
 
         plan = plan_hierarchy(nx, ny, dx, dy, volp, min_size=st.mg_min_size)
@@ -281,10 +283,7 @@ def make_step_kernel(case: CaseConfig, has_bfs: bool):
                 (interior unknowns, ghost contributions folded into the RHS -
                 identical to pallas_mg_solve_pressure's wrapper)."""
                 ghost_only = jnp.where(interior, 0.0, p0)
-                lg = volp * (
-                    (ghost_only[2:, 1:-1] + ghost_only[:-2, 1:-1]) * inv_dx2
-                    + (ghost_only[1:-1, 2:] + ghost_only[1:-1, :-2]) * inv_dy2
-                )
+                lg = ghost_fold(ghost_only, inv_dx2, inv_dy2, volp)
                 x_s, b_s = scratch
                 x_s[:] = p0[1:-1, 1:-1]
                 b_s[:] = b[1:-1, 1:-1] - lg

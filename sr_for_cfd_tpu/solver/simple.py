@@ -73,8 +73,9 @@ def simple_step(
     mesh, fluid, st = case.mesh, case.fluid, case.settings
     if nu is None:
         nu = fluid.nu
-    # config __post_init__ guarantees fused_step implies f32 + 'sweeps'
-    # (no silent fallback; incompatible combinations fail at config time)
+    # config __post_init__ guarantees fused_step implies f32 and a
+    # pressure solver with a fused kernel ('sweeps' or 'multigrid'); no
+    # silent fallback - incompatible combinations fail at config time
     if st.fused_step:
         if with_counts:
             raise ValueError("with_counts unsupported on the fused step")

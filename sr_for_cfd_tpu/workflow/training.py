@@ -218,8 +218,10 @@ def train_sr_autoencoder(
         epoch = 0
         while epoch < epochs:
             block = min(log_every, epochs - epoch)
+            per_epoch = steps * batch_size
+            reps = -(-per_epoch // n)  # wrap-around when n < batch_size
             idx = np.stack([
-                rng.permutation(n)[: steps * batch_size].reshape(
+                np.tile(rng.permutation(n), reps)[:per_epoch].reshape(
                     steps, batch_size
                 )
                 for _ in range(block)
