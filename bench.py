@@ -342,6 +342,12 @@ def main():
         hbm_fused = 11 * (NX + 2) * (NY + 2) * 4 * 2
         result["roofline"]["parity_hbm_gb_per_sec"] = round(
             hbm_fused / s_per_step / 1e9, 2)
+    if "fused_mg" in perf:
+        s_per_step = perf["fused_mg"]["device_ms_per_step"] / 1e3
+        # fully-fused step: HBM traffic is just the state in/out
+        hbm = 11 * (NX + 2) * (NY + 2) * 4 * 2
+        result["roofline"]["fused_mg_hbm_gb_per_sec"] = round(
+            hbm / s_per_step / 1e9, 2)
     if "multigrid" in perf:
         s_per_step = perf["multigrid"]["device_ms_per_step"] / 1e3
         # jnp path: every sweep round-trips HBM; V-cycles move ~2x the

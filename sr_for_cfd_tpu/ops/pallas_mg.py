@@ -1,14 +1,17 @@
 """Fully-fused Pallas multigrid pressure solver (single-kernel V-cycles).
 
-The jnp V-cycle (`ops/multigrid.py`) is algorithmically fast but its
-sub-128^2 hierarchy is latency-bound: each of the ~7 unrolled levels issues
-a handful of tiny sequenced XLA ops per smoothing sweep, and on small grids
-the per-op launch/sync overhead dwarfs the VPU work (the round-2 STATUS
-"known gaps" headline-bench lever). This kernel runs the ENTIRE outer
-cycle loop - every level's smoothing, restriction, prolongation, and the
-fine-level convergence check - inside ONE `pallas_call`, with the whole
-hierarchy resident in VMEM (a 400^2 f32 hierarchy totals ~2 MB against
-~16 MB of VMEM).
+This kernel runs the ENTIRE outer cycle loop - every level's smoothing,
+restriction, prolongation, and the fine-level convergence check - inside
+ONE `pallas_call`, with the whole hierarchy resident in VMEM (a 400^2 f32
+hierarchy totals ~2 MB). Measured against the jnp V-cycle
+(`ops/multigrid.py`) on v5e at 400^2: 47.5 vs 57.7 us per cycle - the
+win comes from the concat-shift Laplacian (below) and from skipping the
+fine-grid HBM round trip per cycle, NOT from launch overhead (XLA's
+lowering of the jnp path inside a jitted while_loop was already good;
+the original "latency-bound hierarchy" hypothesis was disproven by
+amortized measurement). The larger payoff is `mg_while_loop` being
+embeddable in the fully-fused step kernel (ops/pallas_step.py), where
+the whole outer iteration shares one launch.
 
 Design notes (TPU-first):
 - Inter-grid transfer as MATMULS on the MXU. `jax.image.resize(linear)` is
