@@ -66,6 +66,11 @@ def generate_lr_data(sizes):
                 double_lid=double_lid, max_iterations=100000,
                 chunk_size=20000, verbose=True,
                 dtype="float32", fused_step=True, pressure_sor=1.9,
+                # 500 outer iterations per kernel launch: a VMAPPED
+                # pallas dispatch costs ~ms, so per-iteration launches
+                # dominated the sweep (measured 464 s -> 2.4 s for
+                # 3x20000 iterations at 10x10, bit-exact)
+                steps_per_kernel=500,
             )
             mesh = MeshParameters(nx=size, ny=size, lx=1.0, ly=1.0)
             for re_val, f in fields.items():
