@@ -12,10 +12,12 @@ full-trajectory average).
 Measured and reported in ONE JSON line (driver contract: metric / value /
 unit / vs_baseline; everything else is supplementary):
 
-  * both modes - `multigrid` (V-cycle pressure solve to the full 1e-6
-    tolerance; the fastest configuration and the headline `value`) and
-    `parity` (fused Pallas whole-step kernel with the reference's exact
-    inner-loop semantics: 1e-6/1000-sweep capped red-black);
+  * four modes - `multigrid` (jnp V-cycles to the full 1e-6 tolerance),
+    `mg_pallas` (whole V-cycle loop in one Pallas kernel), `fused_mg`
+    (the flagship: entire outer step + V-cycle in ONE kernel; usually the
+    headline `value` = the fastest multigrid-family mode) and `parity`
+    (fused Pallas whole-step kernel with the reference's exact inner-loop
+    semantics: 1e-6/1000-sweep capped red-black);
   * device_ms_per_step per mode - wall-clock over one BENCH_ITERS-step
     on-device chunk (a single dispatch with a forced scalar readback; at
     1000 iterations the ~25 ms relay round trip is <3% of the wall, so
@@ -34,7 +36,8 @@ unit / vs_baseline; everything else is supplementary):
     VPU FLOP/s [8x128 lanes x 4 ALUs x 2 (FMA) x ~0.94 GHz, estimate] and
     8.1e11 HBM B/s).
 
-BENCH_MODE=multigrid|parity restricts to one mode; BENCH_ITERS sets the
+BENCH_MODE=multigrid|mg_pallas|fused_mg|parity restricts to one mode
+(Pallas modes are TPU-only); BENCH_ITERS sets the
 per-rep iteration budget.
 """
 
@@ -331,23 +334,21 @@ def main():
         "est_flops_per_outer_step": flops_per_step,
         "est_hbm_bytes_per_outer_step_jnp_path": bytes_per_step,
     }
+    # the fused kernels' HBM traffic per step is just the state in/out
+    # (7 padded arrays + 4 face-flux arrays)
+    hbm_fused = 11 * (NX + 2) * (NY + 2) * 4 * 2
     if "parity" in perf:
         s_per_step = perf["parity"]["device_ms_per_step"] / 1e3
         gflops = flops_per_step / s_per_step / 1e9
         result["roofline"]["parity_achieved_gflops_per_sec"] = round(gflops, 1)
         result["roofline"]["parity_pct_of_v5e_vpu_f32_peak"] = round(
             100 * gflops * 1e9 / V5E_VPU_F32_FLOPS_PER_S, 2)
-        # the fused kernel is VMEM-resident: HBM traffic per step is just
-        # the state in/out (7 padded arrays + 4 face-flux arrays)
-        hbm_fused = 11 * (NX + 2) * (NY + 2) * 4 * 2
         result["roofline"]["parity_hbm_gb_per_sec"] = round(
             hbm_fused / s_per_step / 1e9, 2)
     if "fused_mg" in perf:
         s_per_step = perf["fused_mg"]["device_ms_per_step"] / 1e3
-        # fully-fused step: HBM traffic is just the state in/out
-        hbm = 11 * (NX + 2) * (NY + 2) * 4 * 2
         result["roofline"]["fused_mg_hbm_gb_per_sec"] = round(
-            hbm / s_per_step / 1e9, 2)
+            hbm_fused / s_per_step / 1e9, 2)
     if "multigrid" in perf:
         s_per_step = perf["multigrid"]["device_ms_per_step"] / 1e3
         # jnp path: every sweep round-trips HBM; V-cycles move ~2x the

@@ -52,8 +52,9 @@ def _pressure_kernel(
 
     b = rho/dt * sum(Ff), zero-padded to the full shape; the update is
     p += (b - Fd)/ap_d exactly as the reference's point iteration. All
-    shifts are full-array rolls (no scatters - unsupported in Mosaic); roll
-    wrap-around only touches ghost rows, which the interior masks exclude.
+    shifts are replicated-edge concatenated slices (no scatters -
+    unsupported in Mosaic); the replicated values land only in ghost
+    rows/columns, which the interior masks exclude from every update.
     """
     p = p_ref[:]
     b = b_ref[:]
@@ -159,11 +160,11 @@ def pallas_solve_pressure(
         kernel,
         out_shape=jax.ShapeDtypeStruct(p.shape, p.dtype),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY if interpret else pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY if interpret else pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY if interpret else pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY if interpret else pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            memory_space=pltpu.ANY if interpret else pltpu.VMEM
+            memory_space=pl.ANY if interpret else pltpu.VMEM
         ),
         interpret=interpret,
     )(p, b)

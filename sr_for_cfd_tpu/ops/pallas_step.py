@@ -432,7 +432,7 @@ def pallas_simple_step(
         nu = case.fluid.nu
     nu_arr = jnp.full((1, 1), 1.0, dtype) * nu
 
-    vmem = pltpu.ANY if interpret else pltpu.VMEM
+    vmem = pl.ANY if interpret else pltpu.VMEM
     kw = {}
     if not interpret:
         # the working set (9 in + 8 out + temps) exceeds the default 16 MiB

@@ -103,10 +103,16 @@ def batched_cavity_solve(
 
         return jax.tree_util.tree_map(sel, states, new)
 
+    # each fused multi-step call advances steps_per_kernel iterations;
+    # count them so a chunk is chunk_size ITERATIONS (not calls) and the
+    # host keeps its per-chunk progress line / dispatch bound
+    k_per_call = (case.settings.steps_per_kernel
+                  if case.settings.fused_step else 1)
+
     def chunk(states):
         def body(carry):
             s, i = carry
-            return masked_step(s), i + 1
+            return masked_step(s), i + k_per_call
 
         def cond(carry):
             s, i = carry

@@ -210,6 +210,7 @@ def train_sr_autoencoder(
         # single-device fast path: whole log_every-epoch blocks run as one
         # on-device scan dispatch (see _train_block); the full dataset
         # lives in HBM and batches are device-side gathers
+        block_size = max(1, log_every)  # also the scan-block length
         x_lr_d = jnp.asarray(x_lr)
         x_hr_d = jnp.asarray(x_hr)
         best_loss = jnp.asarray(jnp.inf, jnp.float32)
@@ -217,7 +218,7 @@ def train_sr_autoencoder(
         best_params = params
         epoch = 0
         while epoch < epochs:
-            block = min(log_every, epochs - epoch)
+            block = min(block_size, epochs - epoch)
             per_epoch = steps * batch_size
             reps = -(-per_epoch // n)  # wrap-around when n < batch_size
             idx = np.stack([
