@@ -14,7 +14,9 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 GRIDS = (512, 768, 1024, 2048)
-ITERS = int(os.environ.get("SCALE_ITERS", 50))
+# 200-iteration single-dispatch chunks amortize the ~25 ms relay round
+# trip (<3% at 1024^2; see bench.py)
+ITERS = int(os.environ.get("SCALE_ITERS", 200))
 
 
 def time_case(n, mode):
@@ -29,23 +31,28 @@ def time_case(n, mode):
     )
     if mode == "multigrid":
         kw["pressure_solver"] = "multigrid"
+    elif mode == "fused_mg":
+        kw["pressure_solver"] = "multigrid"
+        kw["fused_step"] = True
     elif mode == "tiled":
         kw["pressure_solver"] = "tiled"
         kw["pressure_sor"] = 1.9
     else:
         kw["fused_step"] = True
         kw["pressure_sor"] = 1.9
+    import jax.numpy as jnp
+
     solver = make_cavity_solver(**kw)
     state = solver._chunk_fn(solver.state, solver.profile)
-    jax.block_until_ready(state)
+    float(jnp.sum(state.u))  # true sync (block_until_ready can return early)
     best = float("inf")
     for rep in range(2):
         fresh = init_state(solver.case)
         fresh = fresh._replace(u=fresh.u.at[n // 2, n // 2].add(1e-7 * (rep + 1)))
-        jax.block_until_ready(fresh)
+        float(jnp.sum(fresh.u))
         t0 = time.time()
         state = solver._chunk_fn(fresh, solver.profile)
-        jax.block_until_ready(state)
+        float(jnp.sum(state.u))
         el = time.time() - t0
         if int(state.count) == ITERS:
             best = min(best, el / ITERS)
@@ -56,13 +63,15 @@ def main():
     results = {}
     for n in GRIDS:
         row = {}
-        row["multigrid_ms_per_step"] = round(time_case(n, "multigrid"), 3)
-        row["tiled_sweeps_ms_per_step"] = round(time_case(n, "tiled"), 3)
-        try:
-            row["fused_ms_per_step"] = round(time_case(n, "fused"), 3)
-        except ValueError as e:  # VMEM ceiling (config-time validation)
-            row["fused_ms_per_step"] = None
-            row["fused_note"] = str(e).split(". ")[0]
+        for m, key in (("multigrid", "multigrid_ms_per_step"),
+                       ("tiled", "tiled_sweeps_ms_per_step"),
+                       ("fused", "fused_ms_per_step"),
+                       ("fused_mg", "fused_mg_ms_per_step")):
+            try:
+                row[key] = round(time_case(n, m), 3)
+            except Exception as e:  # VMEM ceiling / Mosaic limits: record
+                row[key] = None
+                row[key.replace("ms_per_step", "note")] = str(e).split(". ")[0][:200]
         results[f"{n}x{n}"] = row
         print(f"{n}x{n}: {json.dumps(row)}", flush=True)
     out = os.path.join(os.path.dirname(os.path.dirname(

@@ -30,7 +30,13 @@ def _solver_args(p: argparse.ArgumentParser, dt: float, scheme: str):
     p.add_argument("--dtype", choices=["float32", "float64"], default="float32")
     p.add_argument("--chunk-size", type=int, default=100)
     p.add_argument("--fused", action="store_true",
-                   help="fused Pallas outer-step kernel (f32, TPU)")
+                   help="fused Pallas outer-step kernel (f32, TPU); "
+                        "combine with --pressure-solver multigrid for the "
+                        "flagship whole-step + V-cycle kernel")
+    p.add_argument("--steps-per-kernel", type=int, default=1, metavar="K",
+                   help="outer iterations per fused-kernel launch "
+                        "(bit-exact; amortizes launch overhead on tiny "
+                        "grids; requires --fused and K | chunk-size)")
     p.add_argument("--sor", type=float, default=1.0,
                    help="pressure SOR factor (1.0 = reference semantics)")
     p.add_argument("--pressure-solver", choices=["sweeps", "multigrid"],
@@ -51,6 +57,7 @@ def _common_kw(args):
         fused_step=args.fused, pressure_sor=args.sor,
         pressure_solver=args.pressure_solver,
         plateau_patience=args.plateau,
+        steps_per_kernel=args.steps_per_kernel,
     )
 
 

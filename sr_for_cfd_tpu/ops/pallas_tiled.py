@@ -56,7 +56,9 @@ def _sweep_kernel(f_ref, b_ref, out_ref, rms_ref, s_f, s_b,
 
     @pl.when(i == 0)
     def _init():
-        rms_ref[0, 0] = jnp.float32(0.0)
+        # (1,1) vector store: Mosaic cannot store SCALARS to VMEM (the
+        # interpret-mode tests allowed it; real lowering rejects it)
+        rms_ref[:, :] = jnp.zeros((1, 1), jnp.float32)
         t_f[:] = jnp.zeros((2, W), jnp.float32)
         t_b[:] = jnp.zeros((2, W), jnp.float32)
         # slab 0 of the padded array is all zeros by construction
@@ -97,7 +99,7 @@ def _sweep_kernel(f_ref, b_ref, out_ref, rms_ref, s_f, s_b,
         own = (kk >= 2) & (kk < R + 2)
         ss = jnp.sum(jnp.where(own & red, r1 * r1, 0.0)
                      + jnp.where(own & black, r2 * r2, 0.0))
-        rms_ref[0, 0] += ss
+        rms_ref[:, :] += ss.reshape(1, 1)
 
         out_ref[:] = ext_rb[2:R + 2]
 
@@ -129,6 +131,14 @@ def tiled_rb_sweep(fpad, bpad, *, R, nrows, ny, inv_dx2, inv_dy2, volp,
         # at step i, load slab i+1 (clamped at the final tail step)
         return (jnp.minimum(i + 1, n_blocks - 1), 0)
 
+    kw = {}
+    if not interpret:
+        # double-buffered in/out blocks + scratch exceed the default
+        # 16 MiB scoped-vmem budget at 2048^2 (256-row slabs x 2050 wide
+        # x ~10 buffers ~ 26 MiB); v5e has 128 MiB of VMEM
+        kw["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        )
     out, ss = pl.pallas_call(
         kernel,
         grid=(n_blocks,),
@@ -151,6 +161,7 @@ def tiled_rb_sweep(fpad, bpad, *, R, nrows, ny, inv_dx2, inv_dy2, volp,
             pltpu.VMEM((2, W), jnp.float32),
         ],
         interpret=interpret,
+        **kw,
     )(fpad, bpad)
     return out, jnp.sqrt(ss[0, 0] / n_cells)
 
