@@ -174,6 +174,16 @@ def _pallas_parity_gate():
     mgdiff = float(jnp.max(jnp.abs(c - d)))
     out["mg_kernel_max_abs_diff"] = mgdiff
 
+    # tiled (slab-streamed) sweep kernel vs the jnp red-black sweeps -
+    # this kernel shipped a scalar-store bug that ONLY real silicon
+    # rejects, so it needs an on-TPU numeric gate like the others
+    from sr_for_cfd_tpu.ops.pallas_tiled import tiled_solve_pressure
+
+    e = tiled_solve_pressure(p0, ff, slab_rows=64, **kw)
+    f = solve_pressure(p0, ff, inner_scheme="redblack", check_every=1, **kw)
+    tdiff = float(jnp.max(jnp.abs(e - f)))
+    out["tiled_kernel_max_abs_diff"] = tdiff
+
     # fused whole step with the in-kernel V-cycle vs the jnp-multigrid step
     ref_mg = _run_small(fused=False, mg=True)
     fused_mg = _run_small(fused=True, mg=True)
@@ -185,7 +195,7 @@ def _pallas_parity_gate():
     out["fused_mg_step_max_abs_diff"] = fmdiff
 
     out["ok"] = bool(diff <= 1e-5 and pdiff <= 1e-5 and mgdiff <= 1e-5
-                     and fmdiff <= 1e-4)
+                     and fmdiff <= 1e-4 and tdiff <= 1e-5)
     return out
 
 
