@@ -197,12 +197,13 @@ def main():
         # 0.001<->0.06 for 150k iterations with rre_every=1000.)
         cauchy_tol=1.2e-2, cauchy_check_every=5000,
         # mirror the training data's coarse solver settings exactly
-        # (scripts/train_bfs_sr.py): jnp path, sor 1.5, reference inner
-        # caps, no extrapolation (the BFS 10x10 never converges - its
-        # training inputs are 30k-budget fields ~5e-2 from the asymptote,
-        # so an RRE-converged input would be OUT of distribution)
-        coarse_overrides={"fused_step": False, "pressure_sor": 1.5,
-                          "inner_max_iter": 1000, "rre_every": 0},
+        # (scripts/train_bfs_sr.py): fused kernel, inner cap 64, sor 1.5,
+        # no extrapolation (the BFS 10x10 never converges - its training
+        # inputs are 30k-budget fields ~5e-2 from the asymptote, so an
+        # RRE-converged input would be OUT of distribution). The fused
+        # capped fields match the jnp path to 1e-5 (field scale 1.5).
+        coarse_overrides={"pressure_sor": 1.5, "inner_max_iter": 64,
+                          "rre_every": 0, "cauchy_tol": 0.0},
         **fine,
     )
     # acceptance bound: the reference's own marquee BFS budgets (ML 30000

@@ -47,13 +47,16 @@ def main():
     res = sorted(TRAIN_RE + [EVAL_RE])
     pairs = {}
     for re in res:
-        # plain jnp path for the tiny coarse: the fused kernel's inner
-        # loops are data-dependent and can burn their sweep cap at some
-        # Reynolds numbers on 10x10 (measured 160s for 30k iterations)
+        # fused kernel with inner cap 64 + 500 steps/launch: fields match
+        # the jnp path to 1e-5 on a 1.5-scale field (measured at Re=400),
+        # so the SR input distribution is preserved at ~100x the speed.
+        # The demo's coarse phase mirrors these exact settings.
         coarse = solve_bfs(re, 10, 30000, chunk_size=30000,
-                           pressure_sor=1.5, plateau_patience=5)
+                           pressure_sor=1.5, plateau_patience=5,
+                           fused_step=True, inner_max_iter=64,
+                           steps_per_kernel=500)
         fine = solve_bfs(re, 400, 100000, chunk_size=10000,
-                         pressure_solver="multigrid")
+                         pressure_solver="multigrid", fused_step=True)
         pairs[re] = (coarse, fine)
 
     # assemble per-(Re, component) samples exactly like the cavity loader
