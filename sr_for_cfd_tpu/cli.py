@@ -205,7 +205,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.set_defaults(fn=cmd_bfs)
 
     p = sub.add_parser("hybrid", help="ML-accelerated hybrid experiment")
-    _solver_args(p, dt=1e-3, scheme="QUICK")
+    # dt/scheme default to None -> run_hybrid_experiment picks the
+    # per-case reference defaults (bfs: UPWIND @ 2e-3; cavity: QUICK @ 1e-3)
+    _solver_args(p, dt=None, scheme=None)
     p.add_argument("--case", choices=["cavity", "double_lid", "bfs"],
                    default="cavity")
     p.add_argument("--lr-dim", type=int, default=10)

@@ -31,8 +31,15 @@ def load_params(path: str, template: Dict) -> Dict:
         return serialization.from_bytes(template, f.read())
 
 
+def _npz_path(path: str) -> str:
+    """np.savez silently appends '.npz' but np.load uses the path
+    verbatim; normalize so save/load round-trip for any input path."""
+    return path if path.endswith(".npz") else path + ".npz"
+
+
 def save_solver_state(path: str, state) -> None:
     """Snapshot a SolverState (fields + iteration counter) to .npz."""
+    path = _npz_path(path)
     out_dir = os.path.dirname(path)
     if out_dir:
         os.makedirs(out_dir, exist_ok=True)
@@ -48,7 +55,7 @@ def save_solver_state(path: str, state) -> None:
 def load_solver_fields(path: str) -> Dict[str, np.ndarray]:
     """Load a snapshot back as the (ny, nx) interior field dict accepted by
     `CFDSolver.warm_start` / `warm_start_state`."""
-    with np.load(path) as data:
+    with np.load(_npz_path(path)) as data:
         return {
             "u": data["u"][1:-1, 1:-1].T.copy(),
             "v": data["v"][1:-1, 1:-1].T.copy(),

@@ -94,11 +94,14 @@ def load_paired_reynolds_multi(
             re_numbers = sorted(
                 {parse_re(k) for k in keys if k.startswith("Re")} - {None}
             )
-            bc_type = f[keys[0]].attrs.get("bc_type", "unknown")
             for re in re_numbers:
                 g_lr = f"Re{fmt_re(re)}_mesh{lr_dim}x{lr_dim}"
                 g_hr = f"Re{fmt_re(re)}_mesh{hr_dim}x{hr_dim}"
                 if g_lr in keys and g_hr in keys:
+                    # per-GROUP bc_type (a combined file can mix BC types;
+                    # a file-level read would mislabel samples and corrupt
+                    # the per-BC train/test split downstream)
+                    bc_type = f[g_lr].attrs.get("bc_type", "unknown")
                     for comp in ("u", "v", "p"):
                         if comp in f[g_lr] and comp in f[g_hr]:
                             xs_lr.append(

@@ -32,8 +32,11 @@ def _load() -> Optional[ctypes.CDLL]:
         if _lib is not None or _failed:
             return _lib
         try:
+            # a prebuilt .so without the source is fine (deployment may
+            # strip .cpp); only rebuild when the source exists and is newer
             if (not os.path.exists(_LIB)
-                    or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
+                    or (os.path.exists(_SRC)
+                        and os.path.getmtime(_LIB) < os.path.getmtime(_SRC))):
                 # compile to a temp path and rename atomically so a
                 # concurrent process can never dlopen a half-written .so
                 tmp = f"{_LIB}.{os.getpid()}.tmp"

@@ -44,7 +44,19 @@ _model_counter = itertools.count()
 # (model.cache_key, static config) -> jitted SR core; models are few and
 # long-lived, so this stays tiny while letting repeated SR calls reuse the
 # compiled pipeline instead of re-tracing per call
+_CORE_CACHE_MAX = 8
 _CORE_CACHE: Dict = {}
+
+
+def _file_key(kind: str, *paths: str):
+    """(kind, (abspath, mtime_ns)...): same artifact on disk -> same key
+    -> jitted-pipeline cache hit; a rewritten file changes mtime_ns and
+    misses."""
+    import os
+
+    return (kind,) + tuple(
+        (os.path.abspath(p), os.stat(p).st_mtime_ns) for p in paths
+    )
 
 
 @dataclasses.dataclass
@@ -56,7 +68,13 @@ class SRModel:
     hr_dim: int
     params: Dict
     module: SuperResolutionAE
-    cache_key: int = dataclasses.field(default_factory=lambda: next(_model_counter))
+    # hashable identity for the jitted-pipeline cache. Fresh in-memory
+    # models get a unique counter; file-backed constructors override it
+    # with (path, mtime) so re-loading the same artifact HITS the cache
+    # (a sweep of hybrid runs previously recompiled the SR pipeline every
+    # run because each construction minted a new key).
+    cache_key: object = dataclasses.field(
+        default_factory=lambda: next(_model_counter))
 
     @classmethod
     def create(cls, lr_dim: int, hr_dim: int, params: Optional[Dict] = None,
@@ -75,7 +93,8 @@ class SRModel:
 
         model = cls.create(lr_dim, hr_dim, latent_dim=latent_dim)
         params = load_params(path, model.params)
-        return dataclasses.replace(model, params=params)
+        return dataclasses.replace(
+            model, params=params, cache_key=_file_key("ckpt", path))
 
     @classmethod
     def from_parts(cls, encoder_file: str, decoder_file: str,
@@ -107,7 +126,9 @@ class SRModel:
             params["decoder_hr"] = load_params(
                 decoder_file, {"params": params["decoder_hr"]}
             )["params"]
-        return dataclasses.replace(model, params={"params": params})
+        return dataclasses.replace(
+            model, params={"params": params},
+            cache_key=_file_key("parts", encoder_file, decoder_file))
 
     @classmethod
     def from_combined_h5(cls, path: str, lr_dim: int, hr_dim: int,
@@ -118,7 +139,8 @@ class SRModel:
 
         model = cls.create(lr_dim, hr_dim, latent_dim=latent_dim)
         return dataclasses.replace(
-            model, params=load_keras_combined_params(path)
+            model, params=load_keras_combined_params(path),
+            cache_key=_file_key("combined", path),
         )
 
     def predict(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -132,7 +154,8 @@ class BicubicSR:
     def __init__(self, lr_dim: int, hr_dim: int):
         self.lr_dim, self.hr_dim = lr_dim, hr_dim
         self.params = None
-        self.cache_key = next(_model_counter)
+        # weightless and deterministic: every instance is interchangeable
+        self.cache_key = ("bicubic", lr_dim, hr_dim)
 
     def predict(self, x: jnp.ndarray) -> jnp.ndarray:
         n = x.shape[0]
@@ -249,7 +272,12 @@ def ml_super_resolution(
         blend_factor, use_adaptive_normalization,
     )
     if static not in _CORE_CACHE:
-        _CORE_CACHE[static] = jax.jit(partial(
+        while len(_CORE_CACHE) >= _CORE_CACHE_MAX:  # bounded: drop oldest
+            _CORE_CACHE.pop(next(iter(_CORE_CACHE)))
+        # the entry holds a strong reference to `model`, so an id()-based
+        # key can never alias a garbage-collected model's address while
+        # its cached pipeline is alive
+        _CORE_CACHE[static] = (model, jax.jit(partial(
             _sr_core,
             predict_fn=model.predict,
             lr_dim=lr_dim,
@@ -258,8 +286,8 @@ def ml_super_resolution(
             aspect_correct=aspect and aspect_mode != "extrapolate",
             blend_factor=blend_factor,
             adaptive=use_adaptive_normalization,
-        ))
-    pred = _CORE_CACHE[static](jnp.asarray(src), mean_lr, std_lr, mean_hr, std_hr)
+        )))
+    pred = _CORE_CACHE[static][1](jnp.asarray(src), mean_lr, std_lr, mean_hr, std_hr)
     pred = np.asarray(pred)
 
     hr_fields = {c: pred[i] for i, c in enumerate(COMPONENTS)}

@@ -211,6 +211,14 @@ def run_ml_accelerated_fine_simulation(
         raise FileNotFoundError(f"Standardization stats file not found: {stats_file}")
 
     if model is None:
+        # the reference's conventional artifact names are real defaults:
+        # vanilla_encoder{lr}_to_{hr}_{suffix}.h5 etc. found in model_dir
+        # are picked up without explicit paths (PyCFD_ML_accelerated.py
+        # :1069-1087 does exactly this)
+        if encoder_file is None and os.path.exists(names["encoder_file"]):
+            encoder_file = names["encoder_file"]
+        if decoder_file is None and os.path.exists(names["decoder_file"]):
+            decoder_file = names["decoder_file"]
         if model_file and os.path.exists(model_file):
             model = SRModel.from_checkpoint(model_file, lr_dim, hr_dim)
         elif (encoder_file and decoder_file
@@ -248,8 +256,8 @@ def run_hybrid_experiment(
     Re: float = 1000,
     lr_dim: int = 10,
     hr_dim: int = 400,
-    dt: float = 0.001,
-    scheme: str = "QUICK",
+    dt: Optional[float] = None,
+    scheme: Optional[str] = None,
     case: str = "cavity",
     max_iterations_coarse: int = 100000,
     max_iterations_ml: int = 200,
@@ -284,6 +292,13 @@ def run_hybrid_experiment(
     if output_dir is None:
         output_dir = create_timestamped_output_dir()
     is_bfs = case == "bfs"
+    # per-case reference defaults: the BFS baseline runs UPWIND at
+    # dt=2e-3 (`bfs code given by sir.py:810-811`); passing the cavity
+    # defaults unconditionally silently lost BFS parity
+    if dt is None:
+        dt = 2e-3 if is_bfs else 1e-3
+    if scheme is None:
+        scheme = "UPWIND" if is_bfs else "QUICK"
     lx, ly = (10.0, 3.0) if is_bfs else (1.0, 1.0)
     prefix = "bfs" if is_bfs else "cavity"
 

@@ -168,3 +168,46 @@ def test_periodic_snapshots_resume(tmp_path):
     np.testing.assert_allclose(
         np.asarray(resumed.state.u), np.asarray(final.state.u), atol=1e-6
     )
+
+
+def test_loader_tracks_per_group_bc_type(tmp_path):
+    """A combined file can mix BC types; each sample must carry its own
+    group's bc_type attr (a file-level read mislabeled samples and
+    corrupted the per-BC train/test split)."""
+    import h5py
+
+    path = str(tmp_path / "mixed.h5")
+    rng = np.random.default_rng(0)
+    with h5py.File(path, "w") as f:
+        for re, bc in ((100, "lid_driven_cavity"),
+                       (200, "double_lid(u_top=1,u_bottom=1)")):
+            for dim in (4, 8):
+                g = f.create_group(f"Re{re}_mesh{dim}x{dim}")
+                g.attrs["bc_type"] = bc
+                for c in ("u", "v", "p"):
+                    g.create_dataset(c, data=rng.standard_normal(dim * dim))
+    from sr_for_cfd_tpu.io.hdf5 import load_paired_reynolds_multi
+
+    _, _, res, comps, bcs = load_paired_reynolds_multi([path], 4, 8)
+    assert len(res) == 6
+    for re, bc in zip(res, bcs):
+        expected = ("lid_driven_cavity" if re == 100
+                    else "double_lid(u_top=1,u_bottom=1)")
+        assert bc == expected, (re, bc)
+
+
+def test_solver_state_roundtrip_without_extension(tmp_path):
+    """np.savez appends .npz silently; the load side must normalize so
+    save/restore round-trips for any input path."""
+    from sr_for_cfd_tpu.io.checkpoint import (
+        load_solver_fields,
+        save_solver_state,
+    )
+    from sr_for_cfd_tpu.solver.cases import make_cavity_solver
+    from sr_for_cfd_tpu.solver.state import init_state
+
+    s = init_state(make_cavity_solver(Re=100, nx=6, ny=6, dtype="float32").case)
+    base = str(tmp_path / "snap")  # no extension
+    save_solver_state(base, s)
+    fields = load_solver_fields(base)
+    assert fields["u"].shape == (6, 6)
