@@ -21,7 +21,9 @@ COMPONENTS = ("u", "v", "p")
 
 
 def standardize_with_stats(arr, mean: float, std: float):
-    std = STD_FLOOR if std == 0 else std
+    # floor TINY stds too, not just exact zeros: a near-constant field's
+    # ~1e-20 std would blow standardized values past f32 range
+    std = max(abs(std), STD_FLOOR)
     return (arr - mean) / std
 
 
@@ -34,7 +36,7 @@ def dataset_standardize(arr) -> Tuple[np.ndarray, float, float]:
     reference does); returns (standardized, mean, std)."""
     mean = float(np.mean(arr, dtype=np.float64))
     std = float(np.std(arr, dtype=np.float64))
-    std = STD_FLOOR if std == 0 else std
+    std = max(std, STD_FLOOR)
     return (arr - mean) / std, mean, std
 
 

@@ -79,15 +79,6 @@ STALL_RATIO = 0.999
 STALL_RESET_RATIO = 0.98
 
 
-def stall_ratio(dtype) -> float:
-    """0.999 accepts any sustained >=0.1%-per-check improvement. (A looser
-    0.99 was measured to kill BFS's slowly-converging momentum solves
-    mid-convergence; f32 floor rattle needs no special ratio because the
-    vs-best comparison handles it at any ratio.)"""
-    del dtype
-    return STALL_RATIO
-
-
 def stall_update(rms, prev, best, stale):
     """One policy step. Returns (stale, best); callers carry `prev` = the
     previous check's rms (start: +inf) and `best` (start: +inf)."""

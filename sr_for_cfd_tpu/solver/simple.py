@@ -313,10 +313,16 @@ def run_chunk(
             at_snap = jnp.logical_and(
                 (s.count % st.rre_every) == 0, s.count >= st.rre_min_count
             )
-            flat = rre.flatten_state(s.u, s.v, s.p, s.ff)
-            buf = jax.tree.map(
-                lambda new, old: jnp.where(at_snap, new, old),
-                rre.push_snapshot(buf, flat), buf,
+            # cond, not where: flatten+push moves the whole (depth+1,
+            # n_flat) buffer through HBM, and 999 of 1000 iterations
+            # would discard it
+            buf = jax.lax.cond(
+                at_snap,
+                lambda b: rre.push_snapshot(
+                    b, rre.flatten_state(s.u, s.v, s.p, s.ff)
+                ),
+                lambda b: b,
+                buf,
             )
 
             def jump(args):
@@ -346,13 +352,21 @@ def run_chunk(
             s = s._replace(converged=held >= hold, held=held)
         if use_cauchy:
             at_check = (s.count % k_cauchy) == 0
-            du = jnp.max(jnp.abs(s.u - s.cau_u_ref))
-            dv = jnp.max(jnp.abs(s.v - s.cau_v_ref))
+
+            def drift_ok(s=s):
+                # full-field reductions only on check iterations (cond,
+                # not inline: these are two abs-max passes over the grid
+                # that 4999 of 5000 iterations would discard)
+                du = jnp.max(jnp.abs(s.u - s.cau_u_ref))
+                dv = jnp.max(jnp.abs(s.v - s.cau_v_ref))
+                return (du < st.cauchy_tol) & (dv < st.cauchy_tol)
+
             # only a FULL window counts (a warm-started or restored state
             # mid-window would otherwise shrink it and fake a small drift)
             full = (s.count - s.cau_count) >= k_cauchy
-            steady = (at_check & full
-                      & (du < st.cauchy_tol) & (dv < st.cauchy_tol))
+            steady = jax.lax.cond(
+                at_check & full, drift_ok, lambda: jnp.asarray(False)
+            )
             s = s._replace(
                 cau_u_ref=jnp.where(at_check, s.u, s.cau_u_ref),
                 cau_v_ref=jnp.where(at_check, s.v, s.cau_v_ref),
@@ -475,8 +489,6 @@ class CFDSolver:
             case=self.case,
             n_steps=self.case.settings.chunk_size,
         )
-        # results saver injected lazily to keep solver free of IO deps
-        self._saver: Optional[Callable] = None
 
     def precompile(self) -> float:
         """Compile AND warm the chunked solve program ahead of the timed

@@ -21,9 +21,9 @@ import pytest
 from sr_for_cfd_tpu.ops.sweeps import (
     STALL_MIN_CHECKS,
     STALL_PATIENCE,
+    STALL_RATIO,
     solve_momentum,
     solve_pressure,
-    stall_ratio,
     stall_update,
     stalled,
 )
@@ -85,7 +85,7 @@ def test_no_stall_exit_before_min_checks():
 
 
 def test_ratio_accepts_permille_improvement():
-    assert stall_ratio(jnp.float32) == stall_ratio(jnp.float64) == 0.999
+    assert STALL_RATIO == 0.999
 
 
 def test_momentum_sweep_exits_on_floor_not_cap(rng):
