@@ -36,7 +36,9 @@ int append_field_sections(const char* filename, const double* var, long nvar,
         }
     }
     int rc = std::ferror(f);
-    std::fclose(f);
+    // fclose flushes the final stdio buffer; a failed flush (e.g. ENOSPC)
+    // must fail the call or a truncated artifact looks complete
+    if (std::fclose(f) != 0) rc = 1;
     return rc;
 }
 

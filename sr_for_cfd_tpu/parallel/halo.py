@@ -33,6 +33,8 @@ from ..ops.sweeps import optimal_sor, stall_update, stalled
 
 # (mesh, static config) -> compiled shard_map solver; built once per config
 _SOLVER_CACHE: Dict[Tuple, object] = {}
+_SOLVER_CACHE_MAX = 16  # keys include float params (dt/tol/sor): bound
+# the cache so an adaptive-dt sweep can't leak one executable per value
 
 
 def shardmap_solve_pressure(
@@ -147,6 +149,8 @@ def shardmap_solve_pressure(
         max_iter, sor,
     )
     if cache_key not in _SOLVER_CACHE:
+        while len(_SOLVER_CACHE) >= _SOLVER_CACHE_MAX:
+            _SOLVER_CACHE.pop(next(iter(_SOLVER_CACHE)))
         _SOLVER_CACHE[cache_key] = jax.jit(
             jax.shard_map(
                 local_solve,

@@ -44,15 +44,18 @@ def fine_run_name(
     re: float,
     nx: int,
     ny: int,
-    coarse_iters: int,
+    coarse_iters,
     fine_iters: int,
     kind: str,
 ) -> str:
-    """kind: 'ML_accelerated' or 'NORMAL_normal' style suffixes used by the
-    reference artifact names under outputs/."""
+    """Reference fine-phase artifact base names
+    (`PyCFD_ML_accelerated.py:1441-1460`): kind 'ML' (the solver appends
+    '_accelerated') or 'NORMAL' (appends '_normal'); `coarse_iters=None`
+    omits the coarse segment - the NORMAL run has no coarse phase."""
+    coarse = "" if coarse_iters is None else f"{coarse_iters}_coarse_"
     return os.path.join(
         output_dir,
-        f"{case}_Re{fmt_re(re)}_{nx}x{ny}_{coarse_iters}_coarse_{fine_iters}_fine_{kind}",
+        f"{case}_Re{fmt_re(re)}_{nx}x{ny}_{coarse}{fine_iters}_fine_{kind}",
     )
 
 

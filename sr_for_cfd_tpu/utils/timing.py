@@ -40,12 +40,12 @@ def device_time(fn, *args, reps: int = 3, **kw) -> float:
     of the outputs (defeats async dispatch under-reporting)."""
     best = float("inf")
     for _ in range(reps):
-        t0 = time.time()
+        t0 = time.perf_counter()
         out = fn(*args, **kw)
         for leaf in jax.tree_util.tree_leaves(out):
             if hasattr(leaf, "block_until_ready"):
                 leaf.block_until_ready()
-        best = min(best, time.time() - t0)
+        best = min(best, time.perf_counter() - t0)
     return best
 
 
@@ -59,11 +59,11 @@ class StepTimer:
 
     @contextlib.contextmanager
     def phase(self, name: str):
-        t0 = time.time()
+        t0 = time.perf_counter()
         try:
             yield
         finally:
-            self.totals[name] = self.totals.get(name, 0.0) + time.time() - t0
+            self.totals[name] = self.totals.get(name, 0.0) + time.perf_counter() - t0
             self.counts[name] = self.counts.get(name, 0) + 1
 
     def summary(self) -> str:

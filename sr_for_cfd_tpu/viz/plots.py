@@ -12,7 +12,7 @@ from typing import Dict, Optional
 
 import matplotlib
 
-matplotlib.use("Agg")
+matplotlib.use("Agg", force=False)
 import matplotlib.gridspec as gridspec
 import matplotlib.pyplot as plt
 import numpy as np

@@ -24,8 +24,14 @@ from ..io.datfiles import extract_centerlines
 from ..solver.cases import make_bfs_solver, make_cavity_solver
 from ..solver.simple import CFDSolver
 from ..sr.inference import BicubicSR, SRModel, ml_super_resolution
-from ..utils.naming import create_timestamped_output_dir, default_model_files, fmt_re
-from ..viz.plots import plot_centerline_comparison
+from ..utils.naming import (
+    coarse_run_name,
+    create_timestamped_output_dir,
+    default_model_files,
+    fine_run_name,
+    fmt_re,
+)
+from ..viz.plots import format_bc_summary, plot_centerline_comparison
 
 
 def _make_solver(
@@ -75,10 +81,8 @@ def run_coarse_simulation(
         output_dir = create_timestamped_output_dir()
     os.makedirs(output_dir, exist_ok=True)
     prefix = "bfs_" if case == "bfs" else ""
-    output_name = os.path.join(
-        output_dir,
-        f"{prefix}coarse_Re{fmt_re(Re)}_{lr_dim}x{lr_dim}_{max_iterations}_coarse_iterations",
-    )
+    output_name = coarse_run_name(output_dir, prefix, Re, lr_dim,
+                                  max_iterations)
     solver = _make_solver(
         case, Re, lr_dim, lr_dim, dt, scheme, convergence_criteria,
         max_iterations, bc, **kw,
@@ -325,11 +329,8 @@ def run_hybrid_experiment(
         case=case, verbose=verbose, save_results=save_results, **coarse_kw,
     )
 
-    ml_name = os.path.join(
-        output_dir,
-        f"{prefix}_Re{fmt_re(Re)}_{hr_dim}x{hr_dim}_{max_iterations_coarse}"
-        f"_coarse_{max_iterations_ml}_fine_ML",
-    )
+    ml_name = fine_run_name(output_dir, prefix, Re, hr_dim, hr_dim,
+                            max_iterations_coarse, max_iterations_ml, "ML")
     ml_solver, ml_iters, ml_time, hr_fields = run_ml_accelerated_fine_simulation(
         Re, hr_dim, hr_dim, coarse_fields, lr_dim=lr_dim, hr_dim=hr_dim,
         stats_file=stats_file, model=model, model_file=model_file,
@@ -342,11 +343,8 @@ def run_hybrid_experiment(
         save_results=save_results, **kw,
     )
 
-    normal_name = os.path.join(
-        output_dir,
-        f"{prefix}_Re{fmt_re(Re)}_{hr_dim}x{hr_dim}_{max_iterations_normal}"
-        f"_fine_NORMAL",
-    )
+    normal_name = fine_run_name(output_dir, prefix, Re, hr_dim, hr_dim,
+                                None, max_iterations_normal, "NORMAL")
     normal_solver, normal_iters, normal_time = run_normal_simulation(
         Re, hr_dim, hr_dim, dt=dt, scheme=scheme,
         max_iterations=max_iterations_normal, output_name=normal_name, bc=bc,
@@ -358,6 +356,9 @@ def run_hybrid_experiment(
     diff_stats = plot_centerline_comparison(
         os.path.join(output_dir, f"{prefix}_Re{fmt_re(Re)}_centerline_comparison.png"),
         ml_cl, normal_cl, Re,
+        # the reference's BC subtitle (`format_bc_summary`); custom BCs
+        # are otherwise indistinguishable across comparison plots
+        bc_summary=format_bc_summary(bc) if bc is not None else None,
     )
 
     speedup = normal_time / ml_time if ml_time > 0 else float("inf")
