@@ -156,6 +156,11 @@ def pallas_solve_pressure(
         dx=dx, dy=dy, volp=volp, tol=tol, max_iter=max_iter,
         check_every=check_every, sor=sor,
     )
+    kw = {}
+    if not interpret:
+        kw["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        )
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct(p.shape, p.dtype),
@@ -167,4 +172,5 @@ def pallas_solve_pressure(
             memory_space=pl.ANY if interpret else pltpu.VMEM
         ),
         interpret=interpret,
+        **kw,
     )(p, b)

@@ -312,6 +312,13 @@ def pallas_mg_solve_pressure(
         coarsest_sweeps=coarsest_sweeps,
     )
     space = pl.ANY if interpret else pltpu.VMEM
+    kw2 = {}
+    if not interpret:
+        # the hierarchy + transfer matrices exceed the default 16 MiB
+        # scoped-vmem budget at 1024^2 (~27 MiB); v5e has 128 MiB
+        kw2["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        )
     x, cycles = pl.pallas_call(
         kernel,
         out_shape=[
@@ -324,6 +331,7 @@ def pallas_mg_solve_pressure(
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         interpret=interpret,
+        **kw2,
     )(p[1:-1, 1:-1], b_eff, *plan.mats)
     out = p.at[1:-1, 1:-1].set(x)
     if return_count:
