@@ -189,3 +189,48 @@ def test_hybrid_coarse_overrides(tmp_path):
     )
     assert results["coarse_iterations"] <= 3000
     assert np.isfinite(results["speedup"])
+
+
+def test_hybrid_per_case_reference_defaults():
+    """run_hybrid_experiment resolves dt/scheme per case when not given:
+    BFS gets the reference's UPWIND @ 2e-3 (`bfs code given by
+    sir.py:810-811`), cavity QUICK @ 1e-3; explicit values still win."""
+    import inspect
+
+    from sr_for_cfd_tpu.workflow.hybrid import run_hybrid_experiment
+
+    sig = inspect.signature(run_hybrid_experiment)
+    assert sig.parameters["dt"].default is None
+    assert sig.parameters["scheme"].default is None
+
+
+def test_conventional_artifact_names_are_used_as_defaults(tmp_path):
+    """Encoder/decoder checkpoints under the reference naming convention
+    in model_dir are picked up without explicit paths (previously they
+    were computed but ignored, silently degrading to bicubic)."""
+    import numpy as np
+
+    from sr_for_cfd_tpu.io.checkpoint import save_params
+    from sr_for_cfd_tpu.sr.inference import SRModel
+    from sr_for_cfd_tpu.workflow.hybrid import run_ml_accelerated_fine_simulation
+
+    lr, hr = 10, 20
+    m = SRModel.create(lr, hr)
+    d = str(tmp_path)
+    suffix = "testsfx"
+    save_params(f"{d}/vanilla_encoder{lr}_to_{hr}_{suffix}.msgpack",
+                {"params": m.params["params"]["encoder_lr"]})
+    save_params(f"{d}/vanilla_decoder{hr}_from_{lr}_{suffix}.msgpack",
+                {"params": m.params["params"]["decoder_hr"]})
+    with open(f"{d}/standardization_stats_{lr}to{hr}_{suffix}.txt", "w") as f:
+        for c in ("u", "v", "p"):
+            f.write(f"mean{lr}_{c} 0.0\nstd{lr}_{c} 1.0\n")
+            f.write(f"mean{hr}_{c} 0.0\nstd{hr}_{c} 1.0\n")
+    coarse = {c: np.zeros((lr, lr), np.float32) for c in ("u", "v", "p")}
+    solver, its, el, hrf = run_ml_accelerated_fine_simulation(
+        100.0, hr, hr, coarse, lr_dim=lr, hr_dim=hr,
+        model_suffix=suffix, model_dir=d,
+        output_name=f"{d}/run", verbose=False, save_results=False,
+        dtype="float32", max_iterations=2, chunk_size=2,
+    )
+    assert hrf["u"].shape == (hr, hr)
