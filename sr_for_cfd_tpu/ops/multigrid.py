@@ -30,6 +30,12 @@ import jax.numpy as jnp
 from .stencil import FaceFluxes
 from .sweeps import stall_update, stalled
 
+# Shared V-cycle loop defaults - single source of truth for the jnp path,
+# the standalone Pallas MG kernel (ops/pallas_mg.py) and the fused step's
+# embedded solve (ops/pallas_step.py), which must stay drop-in equivalent.
+MG_MAX_CYCLES = 30
+MG_SMOOTHER_SOR = 1.5
+
 
 def _levels(nx: int, ny: int, dx: float = 1.0, dy: float = 1.0,
             min_size: int = 8) -> List[Tuple[int, int]]:
@@ -149,10 +155,10 @@ def mg_solve_pressure(
     rho: float,
     volp: float,
     tol: float = 1e-6,
-    max_cycles: int = 30,
+    max_cycles: int = MG_MAX_CYCLES,
     n_pre: int = 4,
     n_post: int = 4,
-    smoother_sor: float = 1.5,
+    smoother_sor: float = MG_SMOOTHER_SOR,
     min_size: int = 8,
     coarsest_sweeps: int = 40,
     return_count: bool = False,

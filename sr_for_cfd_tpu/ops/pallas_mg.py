@@ -47,7 +47,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .stencil import FaceFluxes
 from .sweeps import stall_update, stalled
-from .multigrid import _levels, ghost_fold
+from .multigrid import MG_MAX_CYCLES, MG_SMOOTHER_SOR, _levels, ghost_fold
 
 
 @functools.lru_cache(maxsize=None)
@@ -280,10 +280,10 @@ def pallas_mg_solve_pressure(
     rho: float,
     volp: float,
     tol: float = 1e-6,
-    max_cycles: int = 30,
+    max_cycles: int = MG_MAX_CYCLES,
     n_pre: int = 4,
     n_post: int = 4,
-    smoother_sor: float = 1.5,
+    smoother_sor: float = MG_SMOOTHER_SOR,
     min_size: int = 8,
     coarsest_sweeps: int = 40,
     return_count: bool = False,

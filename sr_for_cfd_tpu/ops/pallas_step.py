@@ -106,7 +106,7 @@ def make_step_kernel(case: CaseConfig, has_bfs: bool):
     # transfer matrices arrive as extra kernel inputs)
     use_mg = st.pressure_solver == "multigrid"
     if use_mg:
-        from .multigrid import ghost_fold
+        from .multigrid import MG_MAX_CYCLES, MG_SMOOTHER_SOR, ghost_fold
         from .pallas_mg import mg_while_loop, plan_hierarchy
 
         plan = plan_hierarchy(nx, ny, dx, dy, volp, min_size=st.mg_min_size)
@@ -290,8 +290,8 @@ def make_step_kernel(case: CaseConfig, has_bfs: bool):
                 x, _ = mg_while_loop(
                     x_s[:], b_s[:],
                     [m[:] for m in mat_refs], plan,
-                    tol=tol, max_cycles=30, n_pre=st.mg_n_pre,
-                    n_post=st.mg_n_post, sor=1.5,
+                    tol=tol, max_cycles=MG_MAX_CYCLES, n_pre=st.mg_n_pre,
+                    n_post=st.mg_n_post, sor=MG_SMOOTHER_SOR,
                     coarsest_sweeps=st.mg_coarsest_sweeps,
                 )
                 zc = jnp.zeros((nx, 1), jnp.float32)

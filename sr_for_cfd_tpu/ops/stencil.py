@@ -98,15 +98,17 @@ def face_fluxes(u: jnp.ndarray, v: jnp.ndarray, dx: float, dy: float) -> FaceFlu
 
 
 def upwind_convection(
-    phi: jnp.ndarray, ff: FaceFluxes, volp: float
+    phi: jnp.ndarray, ff: FaceFluxes, volp: float, shifts=None
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """First-order upwind convective flux Fc and diagonal ap_c
     (reference `simple_upwind`, `LDV PyCFD given by sir.py:425-457`).
 
     Face value = donor cell by flux sign; only outflow faces (F >= 0)
-    contribute to the diagonal.
+    contribute to the diagonal. `shifts` optionally supplies pre-built
+    (c, e, w, n, s) views (the explicit-SPMD path assembles these from
+    halo-exchanged local blocks, parallel/spmd_step.py).
     """
-    c, e, w, n, s = shifts1(phi)
+    c, e, w, n, s = shifts1(phi) if shifts is None else shifts
     pos_e = ff.e >= 0
     pos_w = ff.w >= 0
     pos_n = ff.n >= 0
@@ -126,13 +128,16 @@ def upwind_convection(
 
 
 def quick_convection(
-    phi: jnp.ndarray, ff: FaceFluxes, volp: float
+    phi: jnp.ndarray, ff: FaceFluxes, volp: float,
+    shifts: "Shifted" = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """QUICK quadratic upwind-biased convective flux Fc and diagonal ap_c
     (reference `quick_scheme`, `LDV PyCFD given by sir.py:459-499`;
     weights 0.75 / 0.375 / -0.125, diagonal weights 0.75 upwind / 0.375
-    downwind). Far neighbors are edge-clamped (see module docstring)."""
-    v = shifts2(phi)
+    downwind). Far neighbors are edge-clamped (see module docstring).
+    `shifts` optionally supplies a pre-built `Shifted` (the explicit-SPMD
+    path builds one from halo-exchanged local blocks)."""
+    v = shifts2(phi) if shifts is None else shifts
     pos_e = ff.e >= 0
     pos_w = ff.w >= 0
     pos_n = ff.n >= 0
@@ -168,11 +173,11 @@ def quick_convection(
 
 
 def diffusion(
-    phi: jnp.ndarray, dx: float, dy: float, volp: float
+    phi: jnp.ndarray, dx: float, dy: float, volp: float, shifts=None
 ) -> Tuple[jnp.ndarray, float]:
     """5-point Laplacian flux Fd and (scalar) diagonal ap_d
     (reference `diffusive_flux`, `LDV PyCFD given by sir.py:501-506`)."""
-    c, e, w, n, s = shifts1(phi)
+    c, e, w, n, s = shifts1(phi) if shifts is None else shifts
     fd = volp * ((e - 2.0 * c + w) / (dx * dx) + (n - 2.0 * c + s) / (dy * dy))
     ap_d = -volp * (2.0 / (dx * dx) + 2.0 / (dy * dy))
     return fd, ap_d

@@ -1,0 +1,461 @@
+"""Explicit-SPMD full SIMPLE step: the whole outer iteration under
+`shard_map`, with ppermute halo exchange - at REFERENCE grid sizes.
+
+The GSPMD path (`parallel/domain.py`) shards the padded (nx+2, ny+2)
+fields, which no reference grid divides evenly (402/1026/2050 over 4 or 8
+devices). This module shards the INTERIOR rows instead - 400, 512, 1024,
+2048 all divide over 2/4/8-device meshes - and derives the ghost ring on
+demand:
+
+  * each rank owns `rows = nx // n_dev` interior rows as a local
+    (rows, ny+2) block (y-ghost columns included; y BCs are rank-local);
+  * x-halo rows travel by `jax.lax.ppermute` over ICI before every
+    stencil evaluation (1 row for 5-point/UPWIND, 2 for QUICK's +-2);
+  * the domain's x-ghost rows (global rows 0 and nx+1) are COMPUTED on
+    the boundary ranks from the BC spec - valid because a ghost row is a
+    pure function of its adjacent interior row and the interior never
+    changes between a BC application and the next ghost read (reference
+    order of operations, `LDV PyCFD given by sir.py:171-232`). Inner
+    solves capture the ghost rows once at entry, reproducing the
+    reference's frozen-ghost semantics exactly;
+  * residual reductions are `jax.lax.psum` (the TPU-native replacement
+    for the reference's prange scalar reductions,
+    `bfs code given by sir.py:690-709`).
+
+Red-black parity and the stall policy use GLOBAL quantities, so every
+rank's `while_loop` runs in lockstep and the iteration is identical to
+the single-device sweep: results match `solver.simple.simple_step` to
+reduction-order rounding (bit-exact trajectories in f64, tested).
+
+This is the structural cousin of ring/context parallelism for stencils
+(SURVEY.md sections 5.7/5.8): neighbor exchange over ICI instead of the
+reference's shared-memory `prange` reads (`LDV PyCFD given by
+sir.py:517-597`).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import DIRICHLET, QUICK, CaseConfig
+from ..ops.bc import BFSInletProfile
+from ..ops.stencil import (
+    FaceFluxes,
+    Shifted,
+    diffusion,
+    quick_convection,
+    upwind_convection,
+)
+from ..ops.sweeps import optimal_sor, stall_update, stalled
+from ..solver.state import SolverState, init_state, inlet_profile
+
+
+class SpmdState(NamedTuple):
+    """Per-rank solver state: local blocks of the global state.
+
+    u/v/p are (rows, ny+2) own-interior-row bands (y-ghost columns
+    included); olds and face fluxes are (rows, ny); scalars are
+    replicated and identical on every rank."""
+
+    u: jnp.ndarray
+    v: jnp.ndarray
+    p: jnp.ndarray
+    u_old: jnp.ndarray
+    v_old: jnp.ndarray
+    p_old: jnp.ndarray
+    ff: FaceFluxes
+    rms: jnp.ndarray       # (3,)
+    count: jnp.ndarray     # int32
+    converged: jnp.ndarray
+    diverged: jnp.ndarray
+
+
+def _specs(axis: str) -> SpmdState:
+    row = P(axis, None)
+    rep = P()
+    return SpmdState(
+        u=row, v=row, p=row, u_old=row, v_old=row, p_old=row,
+        ff=FaceFluxes(e=row, n=row, w=row, s=row),
+        rms=rep, count=rep, converged=rep, diverged=rep,
+    )
+
+
+def _ghost_row(row, side_bc, var_k: int, profile: Optional[BFSInletProfile],
+               is_left: bool):
+    """The domain x-ghost row derived from its adjacent interior row
+    (reference `apply_bc_configured` reflection/zero-gradient,
+    `LDV PyCFD given by sir.py:386-414`; BFS inlet override
+    `bfs code given by sir.py:146-184`). Corner entries get reflected
+    values where the reference leaves zeros - both are never read."""
+    g = (2.0 * side_bc.value - row) if side_bc.type == DIRICHLET else row
+    if is_left and profile is not None and var_k in (0, 1):
+        if var_k == 1:
+            g = -row
+        else:
+            g = jnp.where(profile.below, -row, 2.0 * profile.u_in - row)
+    return g
+
+
+def _make_step(case: CaseConfig, profile: Optional[BFSInletProfile],
+               mesh: Mesh, axis: str):
+    """Build the per-rank step function (closed over all static config)."""
+    mcfg, fluid, st = case.mesh, case.fluid, case.settings
+    nx, ny = mcfg.nx, mcfg.ny
+    n_dev = mesh.shape[axis]
+    rows = nx // n_dev
+    dx, dy, volp, dt = mcfg.dx, mcfg.dy, mcfg.volp, st.dt
+    rho = fluid.rho
+    quick = st.scheme == QUICK
+    h_mom = 2 if quick else 1
+    n_cells = nx * ny
+    p_sor = min(st.pressure_sor, optimal_sor(nx, ny))
+    alpha = {k: st.relax(k) for k in ("u", "v", "p")}
+    fwd = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+    bwd = [(i, (i - 1) % n_dev) for i in range(n_dev)]
+    bcs = {0: case.u_bc, 1: case.v_bc, 2: case.p_bc}
+
+    def rank_of():
+        return jax.lax.axis_index(axis)
+
+    def red_mask():
+        rank = rank_of()
+        ii = (jax.lax.broadcasted_iota(jnp.int32, (rows, ny), 0)
+              + rank * rows + 1)
+        jj = jax.lax.broadcasted_iota(jnp.int32, (rows, ny), 1) + 1
+        return (ii + jj) % 2 == 0
+
+    def ghosts(x_own, var_k: int):
+        """(glow, ghigh) domain x-ghost rows for this variable, each
+        (ny+2,). Computed on every rank; used only on boundary ranks."""
+        bc = bcs[var_k]
+        return (
+            _ghost_row(x_own[0], bc.left, var_k, profile, is_left=True),
+            _ghost_row(x_own[-1], bc.right, var_k, profile, is_left=False),
+        )
+
+    def assemble(x_own, h: int, glow, ghigh):
+        """(rows + 2h, ny+2) halo-extended block: h neighbor rows by
+        ppermute; boundary ranks substitute the (frozen) domain ghost
+        row, edge-replicated beyond it exactly as `stencil.shifts2`
+        edge-clamps the global +-2 reads."""
+        rank = rank_of()
+        from_up = jax.lax.ppermute(x_own[-h:], axis, fwd)
+        from_dn = jax.lax.ppermute(x_own[:h], axis, bwd)
+        gl = jnp.broadcast_to(glow, (h, ny + 2))
+        gh = jnp.broadcast_to(ghigh, (h, ny + 2))
+        top = jnp.where(rank == 0, gl, from_up)
+        bot = jnp.where(rank == n_dev - 1, gh, from_dn)
+        return jnp.concatenate([top, x_own, bot], axis=0)
+
+    def shifts1_of(ext):
+        return (ext[1:-1, 1:-1], ext[2:, 1:-1], ext[:-2, 1:-1],
+                ext[1:-1, 2:], ext[1:-1, :-2])
+
+    def shifts2_of(ext2):
+        mid = ext2[2:-2]
+        cp = jnp.pad(mid, ((0, 0), (1, 1)), mode="edge")
+        return Shifted(
+            c=mid[:, 1:-1], e=ext2[3:-1, 1:-1], w=ext2[1:-3, 1:-1],
+            n=mid[:, 2:], s=mid[:, :-2],
+            ee=ext2[4:, 1:-1], ww=ext2[:-4, 1:-1],
+            nn=cp[:, 4:], ss=cp[:, :-4],
+        )
+
+    def apply_bc_y(x_own, var_k: int):
+        """Rank-local y-ghost-column fill (every own row is a global
+        interior row, so top/bottom BCs apply to all of them)."""
+        bc = bcs[var_k]
+        bot = (2.0 * bc.bottom.value - x_own[:, 1]
+               if bc.bottom.type == DIRICHLET else x_own[:, 1])
+        top = (2.0 * bc.top.value - x_own[:, -2]
+               if bc.top.type == DIRICHLET else x_own[:, -2])
+        return x_own.at[:, 0].set(bot).at[:, -1].set(top)
+
+    def momentum_residual(x_own, glow, ghigh, old_own, ff, nu):
+        if quick:
+            s2 = shifts2_of(assemble(x_own, 2, glow, ghigh))
+            fc, ap_c = quick_convection(None, ff, volp, shifts=s2)
+            sh1 = (s2.c, s2.e, s2.w, s2.n, s2.s)
+        else:
+            sh1 = shifts1_of(assemble(x_own, 1, glow, ghigh))
+            fc, ap_c = upwind_convection(None, ff, volp, shifts=sh1)
+        fd, ap_d = diffusion(None, dx, dy, volp, shifts=sh1)
+        c = sh1[0]
+        r = -(volp / dt * (c - old_own) + fc - nu * fd)
+        ap = volp / dt + ap_c - nu * ap_d
+        return r, ap
+
+    def pressure_residual(p_own, glow, ghigh, div_sum):
+        sh1 = shifts1_of(assemble(p_own, 1, glow, ghigh))
+        fd, ap_d = diffusion(None, dx, dy, volp, shifts=sh1)
+        r = rho / dt * div_sum - fd
+        return r, jnp.full_like(r, ap_d)
+
+    def sweep_solve(x_own, residual_fn, sor, check_every, dtype):
+        """The local counterpart of `sweeps.sweep_loop` (red-black only):
+        identical exit conditions on globally-psum'd RMS, so all ranks
+        stay in lockstep and trajectories match the single-device loop."""
+        red = red_mask()
+
+        def sweep(f, with_rms):
+            r1, ap1 = residual_fn(f)
+            f = f.at[:, 1:-1].add(jnp.where(red, sor * r1 / ap1, 0.0))
+            r2, ap2 = residual_fn(f)
+            f = f.at[:, 1:-1].add(jnp.where(red, 0.0, sor * r2 / ap2))
+            rms = None
+            if with_rms:
+                ss = jax.lax.psum(
+                    jnp.sum(jnp.where(red, r1 * r1, r2 * r2)), axis
+                )
+                rms = jnp.sqrt(ss / n_cells)
+            return f, rms
+
+        def body(carry):
+            f, prev, best, stale, checks, it = carry
+            for _ in range(check_every - 1):
+                f, _ = sweep(f, with_rms=False)
+            f, rms = sweep(f, with_rms=True)
+            stale, best = stall_update(rms, prev, best, stale)
+            return f, rms, best, stale, checks + 1, it + check_every
+
+        def cond(carry):
+            _, rms, _, stale, checks, it = carry
+            return jnp.logical_and(
+                jnp.logical_and(it < st.inner_max_iter,
+                                rms >= st.inner_tolerance),
+                jnp.logical_not(stalled(stale, checks)),
+            )
+
+        big = jnp.asarray(jnp.inf, dtype)
+        zero = jnp.asarray(0, jnp.int32)
+        out = jax.lax.while_loop(cond, body,
+                                 (x_own, big, big, zero, zero, zero))
+        return out[0]
+
+    def under_relax_own(x_own, old_own, a):
+        if isinstance(a, float) and a == 1.0:
+            return x_own
+        c = x_own[:, 1:-1]
+        return x_own.at[:, 1:-1].set(old_own + a * (c - old_own))
+
+    def step(s: SpmdState, nu) -> SpmdState:
+        dtype = s.u.dtype
+
+        # -- momentum (frozen ghosts captured at entry) -------------------
+        glow_u, ghigh_u = ghosts(s.u, 0)
+        u = sweep_solve(
+            s.u,
+            partial(momentum_residual, glow=glow_u, ghigh=ghigh_u,
+                    old_own=s.u_old, ff=s.ff, nu=nu),
+            1.0, st.momentum_check_every, dtype,
+        )
+        u = under_relax_own(u, s.u_old, alpha["u"])
+        u = apply_bc_y(u, 0)
+
+        glow_v, ghigh_v = ghosts(s.v, 1)
+        v = sweep_solve(
+            s.v,
+            partial(momentum_residual, glow=glow_v, ghigh=ghigh_v,
+                    old_own=s.v_old, ff=s.ff, nu=nu),
+            1.0, st.momentum_check_every, dtype,
+        )
+        v = under_relax_own(v, s.v_old, alpha["v"])
+        v = apply_bc_y(v, 1)
+
+        # -- face fluxes (fresh ghosts: post-BC u, v) ---------------------
+        glow_u, ghigh_u = ghosts(u, 0)
+        glow_v, ghigh_v = ghosts(v, 1)
+        from ..ops.stencil import face_fluxes as _ff
+
+        ff = _ff(assemble(u, 1, glow_u, ghigh_u),
+                 assemble(v, 1, glow_v, ghigh_v), dx, dy)
+
+        # -- pressure (frozen ghosts at entry) ----------------------------
+        glow_p, ghigh_p = ghosts(s.p, 2)
+        div_sum = ff.divergence_sum()
+        p = sweep_solve(
+            s.p,
+            partial(pressure_residual, glow=glow_p, ghigh=ghigh_p,
+                    div_sum=div_sum),
+            p_sor, st.pressure_check_every, dtype,
+        )
+        p = under_relax_own(p, s.p_old, alpha["p"])
+        p = apply_bc_y(p, 2)
+
+        # -- projection + residuals (fresh p ghosts) ----------------------
+        glow_p, ghigh_p = ghosts(p, 2)
+        pc, pe, pw, pn, ps = shifts1_of(assemble(p, 1, glow_p, ghigh_p))
+        u = u.at[:, 1:-1].add(-(dt / rho) * (pe - pw) / (2.0 * dx))
+        v = v.at[:, 1:-1].add(-(dt / rho) * (pn - ps) / (2.0 * dy))
+
+        def sumsq(new, old):
+            d = new[:, 1:-1] - old
+            return jax.lax.psum(jnp.sum(d * d), axis)
+
+        res = jnp.stack([sumsq(u, s.u_old), sumsq(v, s.v_old),
+                         sumsq(p, s.p_old)])
+        u = apply_bc_y(u, 0)
+        v = apply_bc_y(v, 1)
+
+        # -- Rhie-Chow flux correction ------------------------------------
+        c = dt / rho
+        ff = FaceFluxes(
+            e=ff.e - c * (pe - pc) * dy / dx,
+            n=ff.n - c * (pn - pc) * dx / dy,
+            w=ff.w - c * (pw - pc) * dy / dx,
+            s=ff.s - c * (ps - pc) * dx / dy,
+        )
+
+        # -- convergence check -------------------------------------------
+        rms = jnp.sqrt(res / n_cells) / dt
+        crit = jnp.asarray(
+            [st.criterion("u"), st.criterion("v"), st.criterion("p")],
+            dtype=rms.dtype,
+        )
+        return SpmdState(
+            u=u, v=v, p=p,
+            u_old=u[:, 1:-1], v_old=v[:, 1:-1], p_old=p[:, 1:-1],
+            ff=ff, rms=rms, count=s.count + 1,
+            converged=jnp.all(rms <= crit),
+            diverged=jnp.logical_not(jnp.all(jnp.isfinite(rms))),
+        )
+
+    return step
+
+
+def _make_chunk(case: CaseConfig, profile, mesh: Mesh, axis: str,
+                n_steps: int):
+    step = _make_step(case, profile, mesh, axis)
+    st = case.settings
+
+    def chunk(s: SpmdState, nu) -> SpmdState:
+        def body(carry):
+            s, i = carry
+            return step(s, nu), i + 1
+
+        def cond(carry):
+            s, i = carry
+            active = jnp.logical_and(
+                jnp.logical_and(~s.converged, ~s.diverged),
+                s.count < st.max_iterations,
+            )
+            return jnp.logical_and(i < n_steps, active)
+
+        out, _ = jax.lax.while_loop(
+            cond, body, (s, jnp.asarray(0, jnp.int32))
+        )
+        return out
+
+    specs = _specs(axis)
+    return jax.jit(jax.shard_map(
+        chunk, mesh=mesh, in_specs=(specs, P()), out_specs=specs,
+    ))
+
+
+# (mesh, axis, case, n_steps) -> compiled shard_map chunk
+_CHUNK_CACHE: Dict[Tuple, object] = {}
+_CHUNK_CACHE_MAX = 16
+
+
+class SpmdSolver:
+    """Domain-decomposed solver at reference grid sizes: interior rows
+    sharded over the mesh (`nx % n_devices == 0` - 400/512/1024/2048 all
+    qualify), full SIMPLE step under shard_map with explicit halo
+    exchange. Results match the single-device solver to reduction-order
+    rounding. Complements `parallel.domain.ShardedSolver` (GSPMD,
+    bit-identical, but needs `(nx+2) % n_devices == 0`)."""
+
+    def __init__(self, case: CaseConfig, mesh: Mesh, axis: str = "x"):
+        n_dev = mesh.shape[axis]
+        if case.mesh.nx % n_dev != 0:
+            raise ValueError(
+                f"nx = {case.mesh.nx} must divide over {n_dev} '{axis}' "
+                f"devices (interior-row decomposition)"
+            )
+        if case.settings.pressure_solver != "sweeps":
+            raise ValueError(
+                "SpmdSolver currently supports pressure_solver='sweeps' "
+                "(the reference-semantics inner loop); use the GSPMD "
+                "ShardedSolver for multigrid on divisible grids"
+            )
+        if case.settings.fused_step or case.settings.use_pallas:
+            raise ValueError("SpmdSolver is a jnp shard_map path; fused/"
+                             "pallas single-device kernels don't apply")
+        self.case = case
+        self.mesh = mesh
+        self.axis = axis
+        self.profile = inlet_profile(case)
+        self._nu = jnp.asarray(case.fluid.nu,
+                               jnp.dtype(case.settings.dtype))
+        key = (mesh, axis, case, case.settings.chunk_size)
+        if key not in _CHUNK_CACHE:
+            while len(_CHUNK_CACHE) >= _CHUNK_CACHE_MAX:
+                _CHUNK_CACHE.pop(next(iter(_CHUNK_CACHE)))
+            _CHUNK_CACHE[key] = _make_chunk(
+                case, self.profile, mesh, axis, case.settings.chunk_size
+            )
+        self._chunk_fn = _CHUNK_CACHE[key]
+        self.local = self._to_local(init_state(case))
+
+    def _to_local(self, state: SolverState) -> SpmdState:
+        """Shard a global SolverState's interior bands over the mesh."""
+        row = NamedSharding(self.mesh, P(self.axis, None))
+        rep = NamedSharding(self.mesh, P())
+
+        def band(x):  # (nx+2, ny+2) -> (nx, ny+2) interior rows
+            return jax.device_put(x[1:-1, :], row)
+
+        def put_row(x):
+            return jax.device_put(x, row)
+
+        return SpmdState(
+            u=band(state.u), v=band(state.v), p=band(state.p),
+            u_old=put_row(state.u_old), v_old=put_row(state.v_old),
+            p_old=put_row(state.p_old),
+            ff=FaceFluxes(*(put_row(f) for f in state.ff)),
+            rms=jax.device_put(state.rms, rep),
+            count=jax.device_put(state.count, rep),
+            converged=jax.device_put(state.converged, rep),
+            diverged=jax.device_put(state.diverged, rep),
+        )
+
+    def run_chunk(self) -> SpmdState:
+        self.local = self._chunk_fn(self.local, self._nu)
+        return self.local
+
+    def solve(self, max_chunks: Optional[int] = None) -> SpmdState:
+        chunks = 0
+        while True:
+            self.run_chunk()
+            chunks += 1
+            done = (bool(self.local.converged) or bool(self.local.diverged)
+                    or int(self.local.count)
+                    >= self.case.settings.max_iterations)
+            if done or (max_chunks is not None and chunks >= max_chunks):
+                return self.local
+
+    def global_fields(self) -> Dict[str, np.ndarray]:
+        """Gather {u, v, p} as full padded (nx+2, ny+2) arrays with the
+        ghost ring re-derived (identical to the single-device state)."""
+        from ..ops.bc import apply_bc, apply_bfs_inlet
+
+        nx, ny = self.case.mesh.nx, self.case.mesh.ny
+        out = {}
+        for name, band, k, bc in (
+            ("u", self.local.u, 0, self.case.u_bc),
+            ("v", self.local.v, 1, self.case.v_bc),
+            ("p", self.local.p, 2, self.case.p_bc),
+        ):
+            full = jnp.zeros((nx + 2, ny + 2), band.dtype)
+            full = full.at[1:-1, :].set(jax.device_get(band))
+            full = apply_bc(full, bc)
+            if k in (0, 1):
+                full = apply_bfs_inlet(full, k, self.profile)
+            out[name] = np.asarray(full)
+        return out

@@ -193,7 +193,12 @@ def _sr_core(
         std_lr = (1 - blend_factor) * std_lr + blend_factor * jnp.maximum(
             in_std, STD_FLOOR
         )
-    std_lr = jnp.where(std_lr == 0, STD_FLOOR, std_lr)
+    # floor TINY stds too, not just exact zeros (matches the host-side
+    # standardize_with_stats flooring, models/standardize.py): a stats file
+    # with a ~1e-20 std would otherwise blow standardized values to ~1e19 -
+    # finite garbage the final nan_to_num scrub cannot catch
+    std_lr = jnp.maximum(jnp.abs(std_lr), STD_FLOOR)
+    std_hr = jnp.maximum(jnp.abs(std_hr), STD_FLOOR)
     x_norm = (x - mean_lr[:, None, None]) / std_lr[:, None, None]
     pred = predict_fn(x_norm[..., None])[..., 0]  # (3, hr, hr)
     pred = pred * std_hr[:, None, None] + mean_hr[:, None, None]
@@ -287,6 +292,11 @@ def ml_super_resolution(
             blend_factor=blend_factor,
             adaptive=use_adaptive_normalization,
         )))
+    else:
+        # LRU, not FIFO: refresh recency on hit so a workload alternating
+        # more than _CORE_CACHE_MAX model/config combos evicts the coldest
+        # pipeline instead of potentially the hottest
+        _CORE_CACHE[static] = _CORE_CACHE.pop(static)
     pred = _CORE_CACHE[static][1](jnp.asarray(src), mean_lr, std_lr, mean_hr, std_hr)
     pred = np.asarray(pred)
 

@@ -51,11 +51,17 @@ def fine_run_name(
     """Reference fine-phase artifact base names
     (`PyCFD_ML_accelerated.py:1441-1460`): kind 'ML' (the solver appends
     '_accelerated') or 'NORMAL' (appends '_normal'); `coarse_iters=None`
-    omits the coarse segment - the NORMAL run has no coarse phase."""
+    omits the coarse segment - the NORMAL run has no coarse phase.
+
+    NORMAL has no `fine` token either: the reference names the normal run
+    `..._{max_iterations_normal}_NORMAL` (`PyCFD_ML_accelerated.py:1455-1460`),
+    so conventional-artifact pickup by name finds reference-produced
+    NORMAL outputs too."""
     coarse = "" if coarse_iters is None else f"{coarse_iters}_coarse_"
+    fine = "" if kind == "NORMAL" else "fine_"
     return os.path.join(
         output_dir,
-        f"{case}_Re{fmt_re(re)}_{nx}x{ny}_{coarse}{fine_iters}_fine_{kind}",
+        f"{case}_Re{fmt_re(re)}_{nx}x{ny}_{coarse}{fine_iters}_{fine}{kind}",
     )
 
 

@@ -67,8 +67,16 @@ def batched_cavity_solve(
             k in settings_kw for k in detector_opts):
         cs = settings_kw["chunk_size"]
         for k in (500, 250, 100, 50, 10):
-            if cs % k == 0:
+            # K must divide the chunk AND the iteration budget: exit
+            # checks fire every K iterations, so a K that doesn't divide
+            # max_iterations would overrun the recorded budget by up to
+            # K-1 iterations (and report counts in multiples of K)
+            if cs % k == 0 and max_iterations % k == 0:
                 settings_kw["steps_per_kernel"] = k
+                if verbose:  # no silent behavior changes for callers
+                    print(f"[sweep] fused sweeps: auto-enabled "
+                          f"steps_per_kernel={k} (convergence checked "
+                          f"every {k} iterations)")
                 break
     solver = make_cavity_solver(
         Re=float(res[0]), nx=nx, ny=ny, dt=dt, scheme=scheme,
