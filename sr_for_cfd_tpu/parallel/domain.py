@@ -50,7 +50,11 @@ class ShardedSolver:
         if (case.mesh.nx + 2) % n_shards != 0:
             raise ValueError(
                 f"nx+2 = {case.mesh.nx + 2} must divide evenly over "
-                f"{n_shards} devices for the x-axis decomposition"
+                f"{n_shards} devices for the GSPMD x-axis decomposition "
+                f"(NamedSharding requires divisibility). For reference "
+                f"grid sizes (400/512/1024/2048, where nx but not nx+2 "
+                f"divides), use parallel.spmd_step.SpmdSolver - the "
+                f"explicit shard_map path over interior rows."
             )
         self.case = case
         self.mesh = mesh
