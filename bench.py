@@ -184,6 +184,14 @@ def _pallas_parity_gate():
     tdiff = float(jnp.max(jnp.abs(e - f)))
     out["tiled_kernel_max_abs_diff"] = tdiff
 
+    # slab-streamed V-cycle kernel vs the jnp V-cycle: same solve, lagged
+    # exit check (converged fields agree past the tolerance)
+    from sr_for_cfd_tpu.ops.pallas_stream import stream_mg_solve_pressure
+
+    g = stream_mg_solve_pressure(p0, ff, slab_rows=64, **mg_kw)
+    sdiff = float(jnp.max(jnp.abs(c - g)))
+    out["streamed_mg_kernel_max_abs_diff"] = sdiff
+
     # fused whole step with the in-kernel V-cycle vs the jnp-multigrid step
     ref_mg = _run_small(fused=False, mg=True)
     fused_mg = _run_small(fused=True, mg=True)
@@ -195,7 +203,7 @@ def _pallas_parity_gate():
     out["fused_mg_step_max_abs_diff"] = fmdiff
 
     out["ok"] = bool(diff <= 1e-5 and pdiff <= 1e-5 and mgdiff <= 1e-5
-                     and fmdiff <= 1e-4 and tdiff <= 1e-5)
+                     and fmdiff <= 1e-4 and tdiff <= 1e-5 and sdiff <= 1e-5)
     return out
 
 
@@ -214,29 +222,27 @@ def _run_small(fused, mg=False):
     return state
 
 
-def _inner_counts(pressure_solver, warm_steps=50, sample_steps=8):
-    """Average per-outer-iteration inner-solve counts, sampled after
-    `warm_steps` outer iterations (early iterations are unrepresentative:
-    the first pressure solves run to the cap)."""
+def _inner_counts(mode, warm_steps=50, sample_steps=8):
+    """Average per-outer-iteration inner-solve counts for a `_build` mode,
+    sampled after `warm_steps` outer iterations (early iterations are
+    unrepresentative: the first pressure solves run to the cap). Every
+    path - including the fused kernels, which emit their loop counters as
+    (1,k) kernel outputs - reports MEASURED counts (VERDICT r2 #6)."""
     import jax
     from functools import partial
 
     from sr_for_cfd_tpu.solver.simple import simple_step
-    from sr_for_cfd_tpu.solver.state import init_state
 
-    solver = _build(
-        "multigrid" if pressure_solver == "multigrid" else "jnp-sweeps",
-        warm_steps,
-    )
-    if pressure_solver != "multigrid":
-        # force the pure-jnp sweeps path (the fused kernel's loops don't
-        # expose counters; its inner semantics are identical)
+    if mode == "jnp-sweeps":
+        # CPU fallback: plain jnp sweeps (fused interpret mode is minutes)
         from sr_for_cfd_tpu.solver.cases import make_cavity_solver
 
         solver = make_cavity_solver(
             Re=RE, nx=NX, ny=NY, dt=DT, scheme="QUICK", dtype="float32",
             max_iterations=warm_steps, chunk_size=warm_steps,
         )
+    else:
+        solver = _build(mode, warm_steps)
     state = solver._chunk_fn(solver.state, solver.profile)
     step = jax.jit(partial(simple_step, case=solver.case,
                            profile=solver.profile, with_counts=True))
@@ -245,7 +251,12 @@ def _inner_counts(pressure_solver, warm_steps=50, sample_steps=8):
         state, counts = step(state)
         for k in totals:
             totals[k] += int(counts[k])
-    return {k: round(v / sample_steps, 1) for k, v in totals.items()}
+    # the fused paths run steps_per_kernel outer steps per launch and
+    # report summed counts; normalize to per-outer-iteration
+    k_steps = max(1, solver.case.settings.steps_per_kernel) \
+        if solver.case.settings.fused_step else 1
+    denom = sample_steps * k_steps
+    return {k: round(v / denom, 1) for k, v in totals.items()}
 
 
 def _sweep_costs():
@@ -322,11 +333,15 @@ def main():
                       "device_ms_per_step": round(ms, 3),
                       "vs_baseline": round(ips / BASELINE_ITERS_PER_SEC, 2)}
 
-    counts_sweeps = _inner_counts("sweeps")
-    counts_mg = _inner_counts("multigrid")
+    # counts measured on the ACTUAL benched paths: the fused kernels
+    # emit in-kernel loop counters (VERDICT r2 #6)
+    counts_sweeps = _inner_counts("parity" if on_tpu else "jnp-sweeps")
+    counts_mg = _inner_counts("fused_mg" if on_tpu else "multigrid")
     result["inner_counts_per_outer_step"] = {
         "sweeps_mode_sweeps": counts_sweeps,
         "multigrid_mode_vcycles_p": counts_mg["p"],
+        "source": ("in_kernel_counters_fused_paths" if on_tpu
+                   else "jnp_path_counters"),
     }
 
     # roofline: measured sweep counts x XLA per-sweep cost

@@ -31,6 +31,13 @@ def time_case(n, mode):
     )
     if mode == "multigrid":
         kw["pressure_solver"] = "multigrid"
+    elif mode == "streamed_mg":
+        # slab-streamed Pallas V-cycle (ops/pallas_stream.py); the auto
+        # threshold picks it past the VMEM wall, force below it so the
+        # whole curve is measured
+        kw["pressure_solver"] = "multigrid"
+        kw["use_pallas"] = True
+        kw["mg_slab_rows"] = 256
     elif mode == "fused_mg":
         kw["pressure_solver"] = "multigrid"
         kw["fused_step"] = True
@@ -60,13 +67,30 @@ def time_case(n, mode):
 
 
 def main():
+    # SCALE_MODES / SCALE_GRIDS: comma-separated filters for partial
+    # reruns; filtered runs MERGE into the existing json instead of
+    # overwriting the other entries
+    only_modes = os.environ.get("SCALE_MODES")
+    only_modes = only_modes.split(",") if only_modes else None
+    only_grids = os.environ.get("SCALE_GRIDS")
+    grids = ([int(g) for g in only_grids.split(",")] if only_grids
+             else GRIDS)
+    out = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "docs", "scaling_bench.json")
     results = {}
-    for n in GRIDS:
-        row = {}
+    if (only_modes or only_grids) and os.path.exists(out):
+        with open(out) as f:
+            results = json.load(f)
+    for n in grids:
+        row = results.get(f"{n}x{n}", {})
         for m, key in (("multigrid", "multigrid_ms_per_step"),
+                       ("streamed_mg", "streamed_mg_ms_per_step"),
                        ("tiled", "tiled_sweeps_ms_per_step"),
                        ("fused", "fused_ms_per_step"),
                        ("fused_mg", "fused_mg_ms_per_step")):
+            if only_modes and m not in only_modes:
+                continue
+            row.pop(key.replace("ms_per_step", "note"), None)
             try:
                 row[key] = round(time_case(n, m), 3)
             except Exception as e:  # VMEM ceiling / Mosaic limits: record
@@ -74,8 +98,6 @@ def main():
                 row[key.replace("ms_per_step", "note")] = str(e).split(". ")[0][:200]
         results[f"{n}x{n}"] = row
         print(f"{n}x{n}: {json.dumps(row)}", flush=True)
-    out = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "docs", "scaling_bench.json")
     with open(out, "w") as f:
         json.dump(results, f, indent=2)
     print("wrote", out)

@@ -275,6 +275,15 @@ class SolverSettings:
     mg_n_post: int = 4
     mg_min_size: int = 8
     mg_coarsest_sweeps: int = 40
+    # Slab-streamed Pallas multigrid (pressure_solver='multigrid' +
+    # use_pallas, float32): 0 = automatic - the VMEM-resident fused
+    # V-cycle kernel (ops/pallas_mg.py) when the hierarchy fits on-chip,
+    # the slab-streamed kernel (ops/pallas_stream.py) past the VMEM wall
+    # (>~1.35M interior cells, the TPU scaling axis). > 0 forces the
+    # streamed kernel with that slab height (rows per grid step; multiple
+    # of 16). The streamed kernel's exit check lags one V-cycle (it runs
+    # one extra cycle past tolerance - same fixed point; see module doc).
+    mg_slab_rows: int = 0
     # TPU production runs in float32; float64 is the CPU validation mode.
     dtype: str = "float32"
     # Host round-trip cadence for logging / convergence checks.
@@ -338,6 +347,23 @@ class SolverSettings:
                         f"divide {name}={v} (detector checks run once per "
                         "kernel launch and fire on exact multiples)"
                     )
+        if self.mg_slab_rows < 0 or self.mg_slab_rows % 16:
+            raise ValueError(
+                "mg_slab_rows must be 0 (auto) or a positive multiple of "
+                "16 (keeps the streamed kernel's restrict/prolong slice "
+                "offsets (i-1)*R/2 sublane-aligned for Mosaic)"
+            )
+        if self.mg_slab_rows > 0 and not (
+                self.pressure_solver == "multigrid" and self.use_pallas):
+            raise ValueError(
+                "mg_slab_rows applies to the Pallas multigrid pressure "
+                "path only (pressure_solver='multigrid', use_pallas=True)"
+            )
+        if self.mg_slab_rows > 0 and self.fused_step:
+            raise ValueError(
+                "mg_slab_rows (streamed multigrid) is incompatible with "
+                "fused_step: the fused whole-step kernel is VMEM-resident"
+            )
         if self.pressure_solver == "tiled" and self.dtype != "float32":
             raise ValueError(
                 "pressure_solver='tiled' is float32-only (Pallas kernel); "
@@ -427,19 +453,25 @@ class CaseConfig:
         case_name: str = "lid driven cavity",
         bc_label: str = "lid_driven_cavity",
     ) -> "CaseConfig":
-        if settings.fused_step or settings.use_pallas:
-            # the fused kernels are VMEM-resident: the whole working set
-            # (state in/out + face fluxes + temps, ~30 f32 arrays) must fit
-            # the v5e's 128 MiB VMEM. Measured ceiling ~900^2; beyond it,
-            # Mosaic fails at compile time with an opaque allocation error,
-            # so fail here with advice instead.
+        # VMEM-resident Pallas configurations: the whole working set
+        # (state in/out + face fluxes + temps, ~30 f32 arrays) must fit
+        # the v5e's 128 MiB VMEM. Measured ceiling ~900^2; beyond it,
+        # Mosaic fails at compile time with an opaque allocation error,
+        # so fail here with advice instead. use_pallas + multigrid is
+        # EXEMPT: past the wall it auto-routes to the slab-streamed
+        # V-cycle kernel (ops/pallas_stream.py), which holds only row
+        # slabs + the coarse sub-hierarchy on-chip.
+        vmem_resident = settings.fused_step or (
+            settings.use_pallas and settings.pressure_solver != "multigrid"
+        )
+        if vmem_resident:
             est = (mesh.nx + 2) * (mesh.ny + 2) * 4 * 30
             if est > 100 * 1024 * 1024:
                 raise ValueError(
                     f"fused_step/use_pallas: {mesh.nx}x{mesh.ny} needs "
                     f"~{est / 2**20:.0f} MiB of VMEM (>100 MiB budget). Use "
-                    "pressure_solver='multigrid' (HBM-streamed, any size) "
-                    "for grids beyond ~900^2."
+                    "pressure_solver='multigrid' (use_pallas streams it "
+                    "through VMEM at any size) for grids beyond ~900^2."
                 )
         return cls(
             mesh=mesh,

@@ -45,8 +45,8 @@ def _padded_masks(shape):
 
 
 def _pressure_kernel(
-    p_ref, b_ref, out_ref, *, dx, dy, volp, tol, max_iter, check_every,
-    sor=1.0,
+    p_ref, b_ref, out_ref, cnt_ref, *, dx, dy, volp, tol, max_iter,
+    check_every, sor=1.0,
 ):
     """Red-black Gauss-Seidel for volp*Laplacian(p) = b with frozen ghosts.
 
@@ -119,15 +119,18 @@ def _pressure_kernel(
     big = jnp.asarray(jnp.inf, p.dtype)
     zero = jnp.asarray(0, jnp.int32)
     init = (p, big, big, zero, zero, zero)
-    p, _, _, _, _, _ = jax.lax.while_loop(cond, body, init)
+    p, _, _, _, _, it = jax.lax.while_loop(cond, body, init)
     out_ref[:] = p
+    # sweeps run, as a (1,1) vector store (Mosaic rejects scalar VMEM
+    # stores) - the SURVEY 5.1 inner-iteration counter (VERDICT r2 #6)
+    cnt_ref[:, :] = it.reshape(1, 1)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
         "dx", "dy", "dt", "rho", "volp", "tol", "max_iter", "check_every",
-        "sor", "interpret",
+        "sor", "return_count", "interpret",
     ),
 )
 def pallas_solve_pressure(
@@ -143,9 +146,12 @@ def pallas_solve_pressure(
     max_iter: int = 1000,
     check_every: int = 8,
     sor: float = 1.0,
+    return_count: bool = False,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Drop-in replacement for `sweeps.solve_pressure` (f32, red-black)."""
+    """Drop-in replacement for `sweeps.solve_pressure` (f32, red-black).
+    With `return_count`, returns (p, sweeps_run) - the kernel emits its
+    loop counter as a (1,1) output (SURVEY 5.1 observability)."""
     from .sweeps import optimal_sor
 
     sor = min(sor, optimal_sor(p.shape[0] - 2, p.shape[1] - 2))
@@ -161,16 +167,24 @@ def pallas_solve_pressure(
         kw["compiler_params"] = pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         )
-    return pl.pallas_call(
+    space = pl.ANY if interpret else pltpu.VMEM
+    out, cnt = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct(p.shape, p.dtype),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY if interpret else pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY if interpret else pltpu.VMEM),
+        out_shape=[
+            jax.ShapeDtypeStruct(p.shape, p.dtype),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
         ],
-        out_specs=pl.BlockSpec(
-            memory_space=pl.ANY if interpret else pltpu.VMEM
-        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=space),
+            pl.BlockSpec(memory_space=space),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=space),
+            pl.BlockSpec(memory_space=space),
+        ],
         interpret=interpret,
         **kw,
     )(p, b)
+    if return_count:
+        return out, cnt[0, 0]
+    return out

@@ -136,22 +136,21 @@ def plan_hierarchy(nx, ny, dx, dy, volp, min_size=8) -> MGPlan:
                   tuple(scales), tuple(idents), mats)
 
 
-def mg_while_loop(
-    x, b, mat_vals, plan: MGPlan, *,
-    tol, max_cycles, n_pre, n_post, sor, coarsest_sweeps,
-):
-    """The in-kernel V-cycle loop on interior-shaped values. `mat_vals`
-    are the transfer matrices already read from refs (or any values), in
-    `plan.mats` order. Returns (x, cycles). Usable from any Pallas
-    kernel (the standalone pressure kernel below and the fused whole-step
-    kernel in ops/pallas_step.py)."""
+def make_level_ops(mat_vals, plan: MGPlan, *, n_pre, n_post, sor,
+                   coarsest_sweeps):
+    """(lap, smooth, v_cycle) closures over a hierarchy plan. `mat_vals`
+    are the transfer matrices (values, already read from refs) in
+    `plan.mats` order. `v_cycle(x, b, lvl)` runs ONE recursive V-cycle
+    starting at `lvl` - callable from any Pallas kernel (the standalone
+    pressure kernel, the fused step, and the slab-streamed big-grid MG in
+    ops/pallas_stream.py, which runs the coarse sub-hierarchy from
+    level 1)."""
     sizes = plan.sizes
     spacings = plan.spacings
     volp_levels = plan.volp_levels
     scales = plan.scales
     idents = plan.idents
     n_lv = len(sizes)
-    n_cells = sizes[0][0] * sizes[0][1]
 
     mats = []
     k = 0
@@ -217,6 +216,24 @@ def mg_while_loop(
         x = x + transfer(e_c, p_row, pc_t)
         x = smooth(x, b, lvl, n_post, sor)
         return x
+
+    return lap, smooth, v_cycle
+
+
+def mg_while_loop(
+    x, b, mat_vals, plan: MGPlan, *,
+    tol, max_cycles, n_pre, n_post, sor, coarsest_sweeps,
+):
+    """The in-kernel V-cycle loop on interior-shaped values. `mat_vals`
+    are the transfer matrices already read from refs (or any values), in
+    `plan.mats` order. Returns (x, cycles). Usable from any Pallas
+    kernel (the standalone pressure kernel below and the fully-fused step
+    kernel in ops/pallas_step.py)."""
+    n_cells = plan.sizes[0][0] * plan.sizes[0][1]
+    lap, _, v_cycle = make_level_ops(
+        mat_vals, plan, n_pre=n_pre, n_post=n_post, sor=sor,
+        coarsest_sweeps=coarsest_sweeps,
+    )
 
     tol32 = jnp.float32(tol)
 

@@ -120,13 +120,13 @@ def make_step_kernel(case: CaseConfig, has_bfs: bool):
             # V-cycle's concatenate-based shifts need canonical (offset-0)
             # vector layouts, which a slice of the padded field does not
             # have - storing through a ref relayouts it
-            mat_refs, scratch = rest[:-10], rest[-2:]
-            outs = rest[-10:-2]
+            mat_refs, scratch = rest[:-11], rest[-2:]
+            outs = rest[-11:-2]
         else:
-            mat_refs, scratch = rest[:-8], None
-            outs = rest[-8:]
+            mat_refs, scratch = rest[:-9], None
+            outs = rest[-9:]
         (uo_ref, vo_ref, po_ref, feo_ref, fno_ref, fwo_ref, fso_ref,
-         res_ref) = outs
+         res_ref, cnt_ref) = outs
         # viscosity as a runtime scalar so all Reynolds numbers share one
         # compiled executable
         nu = nu_ref[0, 0]
@@ -253,18 +253,18 @@ def make_step_kernel(case: CaseConfig, has_bfs: bool):
 
                 big = jnp.asarray(jnp.inf, f0.dtype)
                 zero = jnp.asarray(0, jnp.int32)
-                f, _, _, _, _, _ = jax.lax.while_loop(
+                f, _, _, _, _, it = jax.lax.while_loop(
                     cond, body, (f0, big, big, zero, zero, zero)
                 )
-                return f
+                return f, it
 
             # ---- momentum ---------------------------------------------------
-            u = momentum_solve(u0)
+            u, u_it = momentum_solve(u0)
             if alpha["u"] != 1.0:
                 u = jnp.where(interior, u0 + alpha["u"] * (u - u0), u)
             u = bc_u(u)
 
-            v = momentum_solve(v0)
+            v, v_it = momentum_solve(v0)
             if alpha["v"] != 1.0:
                 v = jnp.where(interior, v0 + alpha["v"] * (v - v0), v)
             v = bc_v(v)
@@ -287,7 +287,7 @@ def make_step_kernel(case: CaseConfig, has_bfs: bool):
                 x_s, b_s = scratch
                 x_s[:] = p0[1:-1, 1:-1]
                 b_s[:] = b[1:-1, 1:-1] - lg
-                x, _ = mg_while_loop(
+                x, cycles = mg_while_loop(
                     x_s[:], b_s[:],
                     [m[:] for m in mat_refs], plan,
                     tol=tol, max_cycles=MG_MAX_CYCLES, n_pre=st.mg_n_pre,
@@ -298,7 +298,7 @@ def make_step_kernel(case: CaseConfig, has_bfs: bool):
                 zr = jnp.zeros((1, ny + 2), jnp.float32)
                 xp = jnp.concatenate([zc, x, zc], axis=1)
                 xp = jnp.concatenate([zr, xp, zr], axis=0)
-                return jnp.where(interior, xp, p0)
+                return jnp.where(interior, xp, p0), cycles
 
             def p_sweep(f, with_rms):
                 def half(f, mask):
@@ -334,11 +334,11 @@ def make_step_kernel(case: CaseConfig, has_bfs: bool):
                 )
 
             if use_mg:
-                p = p_solve_mg(p0)
+                p, p_it = p_solve_mg(p0)
             else:
                 bigp = jnp.asarray(jnp.inf, p0.dtype)
                 zerop = jnp.asarray(0, jnp.int32)
-                p, _, _, _, _, _ = jax.lax.while_loop(
+                p, _, _, _, _, p_it = jax.lax.while_loop(
                     p_cond, p_body, (p0, bigp, bigp, zerop, zerop, zerop)
                 )
             if alpha["p"] != 1.0:
@@ -367,28 +367,34 @@ def make_step_kernel(case: CaseConfig, has_bfs: bool):
             fw = jnp.where(interior, fw - c * (pn.w - p) * dy / dx, 0.0)
             fs = jnp.where(interior, fs - c * (pn.s - p) * dx / dy, 0.0)
 
-            return u, v, p, fe, fn, fw, fs, (res_u, res_v, res_p)
+            return (u, v, p, fe, fn, fw, fs, (res_u, res_v, res_p),
+                    (u_it, v_it, p_it))
 
         if k_steps == 1:
-            u, v, p, fe, fn, fw, fs, res = one_step(u0, v0, p0, fe, fn, fw, fs)
+            u, v, p, fe, fn, fw, fs, res, cnts = one_step(
+                u0, v0, p0, fe, fn, fw, fs)
         else:
             # run k_steps outer iterations per kernel launch: on tiny
             # grids the per-launch overhead (~16 us) dwarfs the step's
             # device work, so the chunk driver amortizes it K-fold.
             # Residuals of the LAST step are returned (same value the
-            # per-step driver would see at the same iteration count).
+            # per-step driver would see at the same iteration count);
+            # inner counts are SUMS over the launch's k steps.
             zero = jnp.float32(0.0)
+            izero = jnp.asarray(0, jnp.int32)
 
             def loop_body(_, carry):
-                cu, cv, cp, cfe, cfn, cfw, cfs, _ = carry
-                return one_step(cu, cv, cp, cfe, cfn, cfw, cfs)
+                cu, cv, cp, cfe, cfn, cfw, cfs, _, acc = carry
+                out = one_step(cu, cv, cp, cfe, cfn, cfw, cfs)
+                cnts = out[-1]
+                return out[:-1] + (tuple(a + c for a, c in zip(acc, cnts)),)
 
-            u, v, p, fe, fn, fw, fs, res = jax.lax.fori_loop(
+            u, v, p, fe, fn, fw, fs, res, cnts = jax.lax.fori_loop(
                 0, k_steps, loop_body,
-                (u0, v0, p0, fe, fn, fw, fs, (zero, zero, zero)),
+                (u0, v0, p0, fe, fn, fw, fs, (zero, zero, zero),
+                 (izero, izero, izero)),
             )
         res_u, res_v, res_p = res
-
 
         uo_ref[:] = u
         vo_ref[:] = v
@@ -398,6 +404,9 @@ def make_step_kernel(case: CaseConfig, has_bfs: bool):
         fwo_ref[:] = fw
         fso_ref[:] = fs
         res_ref[:] = jnp.stack([res_u, res_v, res_p]).reshape(1, 3)
+        # inner-solve counters (u sweeps, v sweeps, p sweeps-or-V-cycles)
+        # as a (1,3) vector store - SURVEY 5.1, VERDICT r2 #6
+        cnt_ref[:, :] = jnp.stack(cnts).reshape(1, 3)
 
     return kernel, shape, plan
 
@@ -413,7 +422,9 @@ def pallas_simple_step(
     interpret: bool = False,
 ):
     """Run one fused SIMPLE outer iteration. Returns (u, v, p, FaceFluxes
-    interior, res_sums[3]). Inputs: padded fields + interior-shaped fluxes.
+    interior, res_sums[3], counts[3]) - counts = (u sweeps, v sweeps,
+    p sweeps-or-V-cycles) summed over the launch's `steps_per_kernel`
+    steps. Inputs: padded fields + interior-shaped fluxes.
     """
     kernel, shape, plan = make_step_kernel(case, has_bfs=profile is not None)
     mats = plan.mats if plan is not None else []
@@ -444,10 +455,11 @@ def pallas_simple_step(
         kernel,
         out_shape=(
             [jax.ShapeDtypeStruct(shape, dtype)] * 7
-            + [jax.ShapeDtypeStruct((1, 3), dtype)]
+            + [jax.ShapeDtypeStruct((1, 3), dtype),
+               jax.ShapeDtypeStruct((1, 3), jnp.int32)]
         ),
         in_specs=[pl.BlockSpec(memory_space=vmem)] * (10 + len(mats)),
-        out_specs=[pl.BlockSpec(memory_space=vmem)] * 8,
+        out_specs=[pl.BlockSpec(memory_space=vmem)] * 9,
         scratch_shapes=(
             [pltpu.VMEM((shape[0] - 2, shape[1] - 2), jnp.float32)] * 2
             if plan is not None else []
@@ -456,8 +468,8 @@ def pallas_simple_step(
         **kw,
     )(u, v, p, pad_flux(ff.e), pad_flux(ff.n), pad_flux(ff.w), pad_flux(ff.s),
       u_in, below, nu_arr, *mats)
-    u2, v2, p2, fe, fn, fw, fs, res = outs
+    u2, v2, p2, fe, fn, fw, fs, res, cnt = outs
     ff2 = FaceFluxes(
         e=fe[1:-1, 1:-1], n=fn[1:-1, 1:-1], w=fw[1:-1, 1:-1], s=fs[1:-1, 1:-1]
     )
-    return u2, v2, p2, ff2, res[0]
+    return u2, v2, p2, ff2, res[0], cnt[0]

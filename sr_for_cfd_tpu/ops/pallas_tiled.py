@@ -178,7 +178,8 @@ def _pad_slabs(x, R):
 @functools.partial(
     jax.jit,
     static_argnames=("dx", "dy", "dt", "rho", "volp", "tol", "max_iter",
-                     "check_every", "sor", "slab_rows", "interpret"),
+                     "check_every", "sor", "slab_rows", "return_count",
+                     "interpret"),
 )
 def tiled_solve_pressure(
     p: jnp.ndarray,
@@ -194,12 +195,14 @@ def tiled_solve_pressure(
     check_every: int = 1,
     sor: float = 1.0,
     slab_rows: int = 256,
+    return_count: bool = False,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Drop-in replacement for `sweeps.solve_pressure` (f32, red-black,
     check_every=1 semantics) at any grid size. The rms reduction is fused
     into every sweep at no extra HBM cost, so `check_every` is ignored -
-    the exit condition is evaluated every sweep."""
+    the exit condition is evaluated every sweep. With `return_count`,
+    returns (p, sweeps_run)."""
     del check_every
     nrows, W = p.shape
     ny = W - 2
@@ -235,7 +238,10 @@ def tiled_solve_pressure(
 
     big = jnp.asarray(jnp.inf, jnp.float32)
     zero = jnp.asarray(0, jnp.int32)
-    fpad, _, _, _, _, _ = jax.lax.while_loop(
+    fpad, _, _, _, _, it = jax.lax.while_loop(
         cond, body, (fpad, big, big, zero, zero, zero)
     )
-    return fpad[R:R + nrows].astype(p.dtype)
+    out = fpad[R:R + nrows].astype(p.dtype)
+    if return_count:
+        return out, it
+    return out

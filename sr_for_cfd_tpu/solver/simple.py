@@ -44,6 +44,14 @@ from ..ops.stencil import (
 from ..ops.sweeps import solve_momentum, solve_pressure
 from .state import SolverState, init_state, inlet_profile, warm_start_state
 
+# Auto-dispatch boundary between the VMEM-resident fused V-cycle kernel
+# (ops/pallas_mg.py; hierarchy + transfer matrices on-chip, measured
+# ~27 MiB at 1024^2) and the slab-streamed kernel (ops/pallas_stream.py).
+# 1.35M interior cells (~1160^2) keeps the resident kernel comfortably
+# under the 100 MiB scoped-VMEM budget with margin for the caller's
+# surrounding buffers.
+STREAM_MG_CELL_THRESHOLD = 1_350_000
+
 
 def simple_step(
     state: SolverState,
@@ -67,8 +75,8 @@ def simple_step(
     `with_counts=True` (static) additionally returns a dict of this outer
     iteration's inner-solve work - {'u','v','p'} sweep (or V-cycle) counts
     - the SURVEY section 5.1 observability requirement ("count of
-    outer/inner iterations"). Not supported on the fused/pallas paths
-    (their single-kernel loops don't expose counters).
+    outer/inner iterations"). Every path supports it: the Pallas kernels
+    emit their loop counters as (1,1) outputs (VERDICT r2 #6).
     """
     mesh, fluid, st = case.mesh, case.fluid, case.settings
     if nu is None:
@@ -77,13 +85,7 @@ def simple_step(
     # pressure solver with a fused kernel ('sweeps' or 'multigrid'); no
     # silent fallback - incompatible combinations fail at config time
     if st.fused_step:
-        if with_counts:
-            raise ValueError("with_counts unsupported on the fused step")
-        return _fused_step(state, case, profile, nu)
-    if with_counts and st.use_pallas and st.pressure_solver == "sweeps":
-        # the fused point-iteration kernel doesn't expose its sweep
-        # counter; the fused V-cycle kernel (multigrid) does
-        raise ValueError("with_counts unsupported on the pallas pressure path")
+        return _fused_step(state, case, profile, nu, with_counts=with_counts)
     dx, dy, volp, dt = mesh.dx, mesh.dy, mesh.volp, st.dt
     sweep_kw = dict(
         tol=st.inner_tolerance,
@@ -117,7 +119,28 @@ def simple_step(
     # -- pressure ------------------------------------------------------
     ff = face_fluxes(u, v, dx, dy)
     if st.pressure_solver == "multigrid":
-        if st.use_pallas:
+        if st.use_pallas and (
+            st.mg_slab_rows > 0
+            or mesh.nx * mesh.ny > STREAM_MG_CELL_THRESHOLD
+        ):
+            # past the VMEM wall (or forced): the slab-streamed kernel -
+            # fine level streamed through VMEM in wide-halo row slabs,
+            # coarse hierarchy VMEM-resident (ops/pallas_stream.py)
+            from ..ops.pallas_stream import (
+                SLAB_ROWS,
+                stream_mg_solve_pressure,
+            )
+
+            p = stream_mg_solve_pressure(
+                p, ff, dx=dx, dy=dy, dt=dt, rho=fluid.rho, volp=volp,
+                tol=st.inner_tolerance, return_count=with_counts,
+                n_pre=st.mg_n_pre, n_post=st.mg_n_post,
+                min_size=st.mg_min_size,
+                coarsest_sweeps=st.mg_coarsest_sweeps,
+                slab_rows=st.mg_slab_rows or SLAB_ROWS,
+                interpret=jax.default_backend() != "tpu",
+            )
+        elif st.use_pallas:
             # whole V-cycle loop fused into one VMEM-resident kernel
             # (ops/pallas_mg.py): same schedule/smoother/stall policy as
             # the jnp path, minus the per-level XLA launch latency
@@ -146,10 +169,9 @@ def simple_step(
         # one fused HBM pass per red-black sweep (ops/pallas_tiled.py)
         from ..ops.pallas_tiled import tiled_solve_pressure
 
-        if with_counts:
-            raise ValueError("with_counts unsupported on the tiled path")
         p = tiled_solve_pressure(
             p, ff, dx=dx, dy=dy, dt=dt, rho=fluid.rho, volp=volp,
+            return_count=with_counts,
             tol=st.inner_tolerance, max_iter=st.inner_max_iter,
             sor=st.pressure_sor,
             interpret=jax.default_backend() != "tpu",
@@ -163,6 +185,7 @@ def simple_step(
             p, ff, dx=dx, dy=dy, dt=dt, rho=fluid.rho, volp=volp,
             tol=st.inner_tolerance, max_iter=st.inner_max_iter,
             check_every=st.pressure_check_every, sor=st.pressure_sor,
+            return_count=with_counts,
             interpret=jax.default_backend() != "tpu",
         )
     else:
@@ -223,14 +246,16 @@ def simple_step(
 
 def _fused_step(
     state: SolverState, case: CaseConfig, profile: Optional[BFSInletProfile],
-    nu,
+    nu, with_counts: bool = False,
 ) -> SolverState:
     """Delegate the whole outer iteration to the single fused Pallas kernel
-    (ops/pallas_step.py); float32 / single-device only."""
+    (ops/pallas_step.py); float32 / single-device only. With `with_counts`,
+    also returns {'u','v','p'} inner counts (sweeps / V-cycles; SUMMED over
+    the launch's `steps_per_kernel` outer iterations)."""
     from ..ops.pallas_step import pallas_simple_step
 
     st = case.settings
-    u, v, p, ff, res = pallas_simple_step(
+    u, v, p, ff, res, cnt = pallas_simple_step(
         state.u, state.v, state.p, state.ff, case, profile, nu=nu,
         interpret=jax.default_backend() != "tpu",
     )
@@ -240,7 +265,7 @@ def _fused_step(
         [st.criterion("u"), st.criterion("v"), st.criterion("p")],
         dtype=rms.dtype,
     )
-    return state._replace(
+    new_state = state._replace(
         u=u, v=v, p=p,
         u_old=u[1:-1, 1:-1], v_old=v[1:-1, 1:-1], p_old=p[1:-1, 1:-1],
         ff=ff, rms=rms,
@@ -250,6 +275,9 @@ def _fused_step(
         converged=jnp.all(rms <= crit),
         diverged=jnp.logical_not(jnp.all(jnp.isfinite(rms))),
     )
+    if with_counts:
+        return new_state, {"u": cnt[0], "v": cnt[1], "p": cnt[2]}
+    return new_state
 
 
 def _active(state: SolverState, max_iterations: int) -> jnp.ndarray:
