@@ -1,27 +1,55 @@
 """Test harness config: run every test on 8 virtual CPU devices with x64
 available, the idiomatic JAX way to test pjit/shard_map meshes without a TPU
-pod (SURVEY.md section 4). Must run before jax is imported anywhere."""
+pod (SURVEY.md section 4). Must run before jax is imported anywhere.
+
+On-TPU lane (VERDICT r2 #8): `SRTPU_TEST_TPU=1 python -m pytest tests -m tpu`
+keeps the real TPU backend (no CPU forcing, no x64) and runs only the
+`@pytest.mark.tpu` real-silicon gates - Mosaic rejects things interpret
+mode allows (scalar VMEM stores, mismatched sublane concats), so both r2
+Mosaic bugs were silicon-only; this lane catches the next one in CI rather
+than mid-bench."""
 
 import os
 import sys
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+ON_TPU_LANE = bool(os.environ.get("SRTPU_TEST_TPU"))
+
+if not ON_TPU_LANE:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax  # noqa: E402
 
-# jax may already have been imported (with a TPU plugin) by a sitecustomize
-# hook before conftest runs; the config update wins over the captured env.
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_enable_x64", True)
+if not ON_TPU_LANE:
+    # jax may already have been imported (with a TPU plugin) by a
+    # sitecustomize hook before conftest runs; the config update wins over
+    # the captured env.
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
 
 import pytest  # noqa: E402
+
+
+def pytest_collection_modifyitems(config, items):
+    """tpu-marked tests need real silicon; everything else assumes the
+    8-device virtual CPU mesh + x64. Each lane skips the other's tests."""
+    skip_tpu = pytest.mark.skip(
+        reason="needs real TPU (SRTPU_TEST_TPU=1 pytest -m tpu)")
+    skip_cpu = pytest.mark.skip(
+        reason="CPU-lane test (virtual mesh / x64); run without "
+               "SRTPU_TEST_TPU")
+    for item in items:
+        has_tpu = "tpu" in item.keywords
+        if has_tpu and not ON_TPU_LANE:
+            item.add_marker(skip_tpu)
+        elif ON_TPU_LANE and not has_tpu:
+            item.add_marker(skip_cpu)
 
 
 @pytest.fixture

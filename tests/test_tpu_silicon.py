@@ -1,0 +1,139 @@
+"""Real-silicon gates: every Pallas kernel family compiled by Mosaic and
+numerically checked against its jnp oracle ON the TPU (VERDICT r2 #8).
+
+Interpret mode (the CPU lane) accepts programs Mosaic rejects - scalar
+VMEM stores, concatenating vectors with mismatched sublane offsets - and
+both round-2 Mosaic bugs were silicon-only. Run as:
+
+    SRTPU_TEST_TPU=1 python -m pytest tests -m tpu -q
+
+(~4-6 min: each kernel family compiles once, ~20-40 s through the relay.)
+These duplicate bench.py's parity gates as tests so regressions surface in
+a test run, not mid-benchmark.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.tpu
+
+
+def _require_tpu():
+    if jax.default_backend() != "tpu":
+        pytest.skip("no TPU backend available")
+
+
+@pytest.fixture(scope="module")
+def poisson_128():
+    from sr_for_cfd_tpu.ops.stencil import face_fluxes
+
+    _require_tpu()
+    n = 128
+    dx = 1.0 / n
+    g = np.random.default_rng(0)
+    u = jnp.asarray(g.standard_normal((n + 2, n + 2)) * 0.1, jnp.float32)
+    v = jnp.asarray(g.standard_normal((n + 2, n + 2)) * 0.1, jnp.float32)
+    p0 = jnp.zeros((n + 2, n + 2), jnp.float32)
+    ff = face_fluxes(u, v, dx, dx)
+    return p0, ff, dict(dx=dx, dy=dx, dt=1e-3, rho=1.0, volp=dx * dx,
+                        tol=1e-6)
+
+
+def test_pressure_kernel_matches_jnp(poisson_128):
+    from sr_for_cfd_tpu.ops.pallas_kernels import pallas_solve_pressure
+    from sr_for_cfd_tpu.ops.sweeps import solve_pressure
+
+    p0, ff, kw = poisson_128
+    a = solve_pressure(p0, ff, check_every=8, max_iter=200, **kw)
+    b, cnt = pallas_solve_pressure(p0, ff, check_every=8, max_iter=200,
+                                   return_count=True, **kw)
+    assert float(jnp.max(jnp.abs(a - b))) <= 1e-5
+    assert 0 < int(cnt) <= 200
+
+
+def test_mg_kernel_matches_jnp(poisson_128):
+    from sr_for_cfd_tpu.ops.multigrid import mg_solve_pressure
+    from sr_for_cfd_tpu.ops.pallas_mg import pallas_mg_solve_pressure
+
+    p0, ff, kw = poisson_128
+    c = mg_solve_pressure(p0, ff, max_cycles=20, **kw)
+    d = pallas_mg_solve_pressure(p0, ff, max_cycles=20, **kw)
+    assert float(jnp.max(jnp.abs(c - d))) <= 1e-5
+
+
+def test_streamed_mg_kernel_matches_jnp(poisson_128):
+    from sr_for_cfd_tpu.ops.multigrid import mg_solve_pressure
+    from sr_for_cfd_tpu.ops.pallas_stream import stream_mg_solve_pressure
+
+    p0, ff, kw = poisson_128
+    c = mg_solve_pressure(p0, ff, max_cycles=20, **kw)
+    g = stream_mg_solve_pressure(p0, ff, max_cycles=20, slab_rows=64, **kw)
+    assert float(jnp.max(jnp.abs(c - g))) <= 1e-5
+
+
+def test_tiled_kernel_matches_jnp(poisson_128):
+    from sr_for_cfd_tpu.ops.pallas_tiled import tiled_solve_pressure
+    from sr_for_cfd_tpu.ops.sweeps import solve_pressure
+
+    p0, ff, kw = poisson_128
+    e, cnt = tiled_solve_pressure(p0, ff, slab_rows=64, max_iter=200,
+                                  return_count=True, **kw)
+    f = solve_pressure(p0, ff, inner_scheme="redblack", check_every=1,
+                       max_iter=200, **kw)
+    assert float(jnp.max(jnp.abs(e - f))) <= 1e-5
+    assert 0 < int(cnt) <= 200
+
+
+def _small_state(fused, mg=False, steps=2):
+    from sr_for_cfd_tpu.solver.cases import make_cavity_solver
+
+    extra = {"pressure_solver": "multigrid"} if mg else {}
+    solver = make_cavity_solver(
+        Re=100.0, nx=128, ny=128, dt=1e-3, scheme="QUICK", dtype="float32",
+        max_iterations=steps, chunk_size=steps, fused_step=fused, **extra,
+    )
+    state = solver._chunk_fn(solver.state, solver.profile)
+    jax.block_until_ready(state)
+    return solver, state
+
+
+def _max_field_diff(a, b):
+    return max(
+        float(jnp.max(jnp.abs(a.u - b.u))),
+        float(jnp.max(jnp.abs(a.v - b.v))),
+        float(jnp.max(jnp.abs(a.p - b.p))),
+    )
+
+
+def test_fused_step_matches_jnp_step():
+    _require_tpu()
+    _, ref = _small_state(fused=False)
+    _, fused = _small_state(fused=True)
+    assert _max_field_diff(ref, fused) <= 1e-5
+
+
+def test_fused_mg_step_matches_jnp_mg_step():
+    _require_tpu()
+    _, ref = _small_state(fused=False, mg=True)
+    _, fused = _small_state(fused=True, mg=True)
+    assert _max_field_diff(ref, fused) <= 1e-4
+
+
+def test_fused_step_counters_on_silicon():
+    """The (1,3) int32 counter store is exactly the kind of op Mosaic can
+    reject while interpret mode shrugs - gate it on real silicon."""
+    from functools import partial
+
+    from sr_for_cfd_tpu.solver.simple import simple_step
+
+    _require_tpu()
+    solver, state = _small_state(fused=True, mg=True)
+    step = jax.jit(partial(simple_step, case=solver.case,
+                           profile=solver.profile, with_counts=True))
+    state, counts = step(state)
+    vals = {k: int(v) for k, v in counts.items()}
+    assert set(vals) == {"u", "v", "p"}
+    assert all(v >= 0 for v in vals.values())
+    assert vals["p"] >= 1  # at least one V-cycle ran
