@@ -23,6 +23,7 @@ runtime can never fake a timing.
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -89,15 +90,18 @@ def run(name, coarse_overrides=None, stats=STATS, model=MODEL, **kw):
     if not co.get("fused_step", True):
         co.pop("steps_per_kernel", None)  # multi-step is fused-only
     t0 = time.time()
-    # Best-of-2 per experiment (bench.py-style min-over-reps): the remote
+    # >= 3 reps per experiment, MEDIAN-quoted (VERDICT r2 #5): the remote
     # relay intermittently stalls a dispatch in ~60s-quantum retries
     # (measured 48.1s wall for a coarse solve whose device time is 0.84s,
-    # immediately reproducible at 0.9s). Each rep re-nudges Re, so the
+    # immediately reproducible at 0.9s) - a median over >= 3 reps cannot
+    # be moved by one stall, and the per-phase best rates double as a
+    # device-time cross-check (below). Each rep re-nudges Re, so the
     # relay's (executable, inputs) result cache cannot fake the rerun;
     # iterations/fields are physics-identical across reps to ~1e-5.
     base_re = kw.pop("Re")
+    n_reps = int(os.environ.get("DEMO_REPS", 3))
     reps = []
-    for _ in range(2):
+    for _ in range(n_reps):
         r = run_hybrid_experiment(
             Re=nudge(base_re),
             stats_file=stats if os.path.exists(stats) else None,
@@ -107,27 +111,51 @@ def run(name, coarse_overrides=None, stats=STATS, model=MODEL, **kw):
             **kw,
         )
         reps.append(r)
-    hyb = min(reps, key=lambda r: r["coarse_time"] + r["ml_time"])
-    nrm = min(reps, key=lambda r: r["normal_time"])
-    hybrid = hyb["coarse_time"] + hyb["ml_time"]
-    ref_s = nrm["normal_iterations"] / REF_CPU
+    hyb_times = [r["coarse_time"] + r["ml_time"] for r in reps]
+    # the median REP (an actual run, odd n_reps), so every quoted phase
+    # number and centerline stat comes from one coherent run
+    hyb = reps[hyb_times.index(statistics.median_low(hyb_times))]
+    nrm_times = [r["normal_time"] for r in reps]
+    hybrid = statistics.median(hyb_times)
+    normal = statistics.median(nrm_times)
+    ref_s = hyb["normal_iterations"] / REF_CPU
+
+    # device-time cross-check: per-phase best ms/iter across the (warm)
+    # reps x the median rep's iteration counts. A relay stall inflates a
+    # phase's wall time but not its best rate; if the median wall exceeds
+    # this estimate by >1.5x, a stall leaked into the median itself and
+    # the number should not be quoted as device performance.
+    best_rate = {
+        ph: min(r[f"{ph}_time"] / max(r[f"{ph}_iterations"], 1)
+                for r in reps)
+        for ph in ("coarse", "ml", "normal")
+    }
+    dev_hybrid = (best_rate["coarse"] * hyb["coarse_iterations"]
+                  + best_rate["ml"] * hyb["ml_iterations"])
+    dev_normal = best_rate["normal"] * hyb["normal_iterations"]
+
     out = {
         "hybrid_wall_s": round(hybrid, 1),
+        "hybrid_wall_s_min": round(min(hyb_times), 1),
+        "normal_wall_s": round(normal, 1),
+        "normal_wall_s_min": round(min(nrm_times), 1),
         "coarse_wall_s": round(hyb["coarse_time"], 1),
         "ml_wall_s": round(hyb["ml_time"], 1),
-        "normal_wall_s": round(nrm["normal_time"], 1),
+        "device_s_est": {"hybrid": round(dev_hybrid, 1),
+                         "normal": round(dev_normal, 1)},
+        "stall_in_median": bool(hybrid > 1.5 * dev_hybrid + 1.0
+                                or normal > 1.5 * dev_normal + 1.0),
         "iterations": {
             "coarse": hyb["coarse_iterations"],
             "ml": hyb["ml_iterations"],
-            "normal": nrm["normal_iterations"],
+            "normal": hyb["normal_iterations"],
         },
         "ms_per_iteration": hyb.get("ms_per_iteration"),
         "wall_s_all_reps": {
-            "hybrid": [round(r["coarse_time"] + r["ml_time"], 1)
-                       for r in reps],
-            "normal": [round(r["normal_time"], 1) for r in reps],
+            "hybrid": [round(t, 1) for t in hyb_times],
+            "normal": [round(t, 1) for t in nrm_times],
         },
-        "speedup_vs_own_cold": round(nrm["normal_time"] / hybrid, 2),
+        "speedup_vs_own_cold": round(normal / hybrid, 2),
         "ref_cpu_normal_est_s": round(ref_s, 1),
         "speedup_vs_ref_cpu": round(ref_s / hybrid, 1),
         "centerline_diff_U_max": hyb["centerline_diff"]["U"]["max"],

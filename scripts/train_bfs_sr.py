@@ -22,8 +22,24 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
-TRAIN_RE = [250, 300, 350, 450, 500, 550, 600]
+# r3 (VERDICT r2 #4): widened from 7 to 13 train Reynolds numbers - the
+# 21-sample r2 model's held-out U MAE (0.0102) was ~4x the cavity
+# family's and made the BFS ML fine phase the whole-demo bottleneck
+TRAIN_RE = [150, 200, 250, 300, 350, 450, 500, 550, 600, 650, 700, 750,
+            800]
 EVAL_RE = 400
+# coarse-budget augmentation: the SR input at inference is a 30k-budget
+# coarse field, but budgets vary across experiments (the reference's own
+# marquee BFS run used a 100k coarse cap) - pairing SEVERAL coarse budgets
+# to the same fine truth teaches robustness to the input's convergence
+# level instead of memorizing one budget's transient
+COARSE_BUDGETS = [20000, 30000]
+# U-sample duplication: the U component carries the recirculation
+# structure the warm start actually needs (and the r2 model's worst MAE);
+# duplicating its samples weights the MSE toward it without touching the
+# shared-weight architecture
+U_DUP = 2
+EPOCHS = 800
 OUT = "artifacts"
 SUFFIX = "swish_tpu_bfs"
 
@@ -51,28 +67,34 @@ def main():
         # the jnp path to 1e-5 on a 1.5-scale field (measured at Re=400),
         # so the SR input distribution is preserved at ~100x the speed.
         # The demo's coarse phase mirrors these exact settings.
-        coarse = solve_bfs(re, 10, 30000, chunk_size=30000,
-                           pressure_sor=1.5, plateau_patience=5,
-                           fused_step=True, inner_max_iter=64,
-                           steps_per_kernel=500)
+        budgets = COARSE_BUDGETS if re != EVAL_RE else [30000]
+        coarses = [
+            solve_bfs(re, 10, budget, chunk_size=budget,
+                      pressure_sor=1.5, plateau_patience=5,
+                      fused_step=True, inner_max_iter=64,
+                      steps_per_kernel=500)
+            for budget in budgets
+        ]
         fine = solve_bfs(re, 400, 100000, chunk_size=10000,
                          pressure_solver="multigrid", fused_step=True)
-        pairs[re] = (coarse, fine)
+        pairs[re] = (coarses, fine)
 
-    # assemble per-(Re, component) samples exactly like the cavity loader
+    # assemble per-(Re, budget, component) samples like the cavity loader;
+    # every coarse budget pairs to the same fine truth
     import jax.numpy as jnp
 
     comps = ("u", "v", "p")
     x_lr, x_hr, keys = [], [], []
     for re in res:
-        coarse, fine = pairs[re]
-        for c in comps:
-            x_lr.append(np.asarray(coarse[c], np.float32))
-            x_hr.append(np.asarray(fine[c], np.float32))
-            keys.append((re, c))
+        coarses, fine = pairs[re]
+        for bi, coarse in enumerate(coarses):
+            for c in comps:
+                x_lr.append(np.asarray(coarse[c], np.float32))
+                x_hr.append(np.asarray(fine[c], np.float32))
+                keys.append((re, bi, c))
     x_lr = np.stack(x_lr)[..., None]
     x_hr = np.stack(x_hr)[..., None]
-    train_mask = np.asarray([re != EVAL_RE for re, _ in keys])
+    train_mask = np.asarray([re != EVAL_RE for re, _, _ in keys])
 
     # component-wise standardization on the train split (reference
     # convention: per component x resolution stats)
@@ -80,7 +102,7 @@ def main():
 
     stats = {}
     for ci, c in enumerate(comps):
-        sel = train_mask & np.asarray([k[1] == c for k in keys])
+        sel = train_mask & np.asarray([k[2] == c for k in keys])
         for dim, arr in ((10, x_lr), (400, x_hr)):
             vals = arr[sel]
             stats[f"mean{dim}_{c}"] = float(vals.mean())
@@ -88,7 +110,7 @@ def main():
 
     def standardized(arr, dim):
         out = np.empty_like(arr)
-        for i, (re, c) in enumerate(keys):
+        for i, (re, bi, c) in enumerate(keys):
             out[i] = (arr[i] - stats[f"mean{dim}_{c}"]) / stats[f"std{dim}_{c}"]
         return out
 
@@ -98,9 +120,13 @@ def main():
     from sr_for_cfd_tpu.workflow.training import (
         TrainResult, export_models, train_sr_autoencoder)
 
+    # U-duplication = loss weighting (see U_DUP above)
+    dup = np.asarray([U_DUP if c == "u" else 1 for _, _, c in keys])
+    train_idx = np.repeat(np.nonzero(train_mask)[0],
+                          dup[train_mask])
     result = train_sr_autoencoder(
-        jnp.asarray(z_lr[train_mask]), jnp.asarray(z_hr[train_mask]),
-        lr_dim=10, hr_dim=400, epochs=500, batch_size=8, verbose=True,
+        jnp.asarray(z_lr[train_idx]), jnp.asarray(z_hr[train_idx]),
+        lr_dim=10, hr_dim=400, epochs=EPOCHS, batch_size=8, verbose=True,
     )
     paths = export_models(result, stats, 10, 400, SUFFIX, out_dir=OUT)
 
