@@ -136,7 +136,7 @@ def main():
     model = SRModel.create(10, 400, params=result.params)
     report = {}
     maes, nmaes = [], []
-    for i, (re, c) in enumerate(keys):
+    for i, (re, bi, c) in enumerate(keys):
         if re != EVAL_RE:
             continue
         pred_z = np.asarray(model.predict(jnp.asarray(z_lr[i][None])))[0, ..., 0]

@@ -284,6 +284,12 @@ class SolverSettings:
     # of 16). The streamed kernel's exit check lags one V-cycle (it runs
     # one extra cycle past tolerance - same fixed point; see module doc).
     mg_slab_rows: int = 0
+    # Explicit-SPMD decomposition factor (parallel/spmd_step.py): >1
+    # declares the case will run sharded over that many devices, so the
+    # per-rank VMEM working set of the Pallas kernels is the grid divided
+    # by this. Scales the config-time VMEM gate; SpmdSolver validates it
+    # against the actual mesh.
+    spmd_devices: int = 1
     # TPU production runs in float32; float64 is the CPU validation mode.
     dtype: str = "float32"
     # Host round-trip cadence for logging / convergence checks.
@@ -466,6 +472,9 @@ class CaseConfig:
         )
         if vmem_resident:
             est = (mesh.nx + 2) * (mesh.ny + 2) * 4 * 30
+            if not settings.fused_step:
+                # per-shard kernels under SpmdSolver hold 1/n of the rows
+                est //= max(1, settings.spmd_devices)
             if est > 100 * 1024 * 1024:
                 raise ValueError(
                     f"fused_step/use_pallas: {mesh.nx}x{mesh.ny} needs "

@@ -115,6 +115,10 @@ def _make_step(case: CaseConfig, profile: Optional[BFSInletProfile],
     h_mom = 2 if quick else 1
     n_cells = nx * ny
     p_sor = min(st.pressure_sor, optimal_sor(nx, ny))
+    # per-shard Pallas pressure sweep (parallel/spmd_pallas.py): each
+    # rank's block is VMEM-resident, halos still travel by ppermute
+    use_pallas_p = st.use_pallas
+    pallas_interpret = jax.default_backend() != "tpu"
     alpha = {k: st.relax(k) for k in ("u", "v", "p")}
     fwd = [(i, (i + 1) % n_dev) for i in range(n_dev)]
     bwd = [(i, (i - 1) % n_dev) for i in range(n_dev)]
@@ -197,13 +201,17 @@ def _make_step(case: CaseConfig, profile: Optional[BFSInletProfile],
         r = rho / dt * div_sum - fd
         return r, jnp.full_like(r, ap_d)
 
-    def sweep_solve(x_own, residual_fn, sor, check_every, dtype):
+    def sweep_solve(x_own, residual_fn, sor, check_every, dtype,
+                    sweep_override=None):
         """The local counterpart of `sweeps.sweep_loop` (red-black only):
         identical exit conditions on globally-psum'd RMS, so all ranks
-        stay in lockstep and trajectories match the single-device loop."""
+        stay in lockstep and trajectories match the single-device loop.
+        `sweep_override(f, with_rms) -> (f, rms|None)` swaps the sweep
+        body (the per-shard Pallas kernel path, `parallel/spmd_pallas.py`)
+        while keeping the loop/stall policy identical."""
         red = red_mask()
 
-        def sweep(f, with_rms):
+        def sweep_jnp(f, with_rms):
             r1, ap1 = residual_fn(f)
             f = f.at[:, 1:-1].add(jnp.where(red, sor * r1 / ap1, 0.0))
             r2, ap2 = residual_fn(f)
@@ -215,6 +223,8 @@ def _make_step(case: CaseConfig, profile: Optional[BFSInletProfile],
                 )
                 rms = jnp.sqrt(ss / n_cells)
             return f, rms
+
+        sweep = sweep_override if sweep_override is not None else sweep_jnp
 
         def body(carry):
             f, prev, best, stale, checks, it = carry
@@ -279,12 +289,38 @@ def _make_step(case: CaseConfig, profile: Optional[BFSInletProfile],
         # -- pressure (frozen ghosts at entry) ----------------------------
         glow_p, ghigh_p = ghosts(s.p, 2)
         div_sum = ff.divergence_sum()
-        p = sweep_solve(
-            s.p,
-            partial(pressure_residual, glow=glow_p, ghigh=ghigh_p,
-                    div_sum=div_sum),
-            p_sor, st.pressure_check_every, dtype,
-        )
+        if use_pallas_p:
+            from .spmd_pallas import extend_b_halo, shard_rb_sweep
+
+            rank = rank_of()
+            b_ext = extend_b_halo(rho / dt * div_sum, axis, fwd, bwd,
+                                  rank, n_dev)
+            row0 = jnp.full((1, 1), 1, jnp.int32) * (rank * rows)
+
+            def sweep_pallas(f, with_rms):
+                ext = assemble(f, 2, glow_p, ghigh_p)
+                own, ss = shard_rb_sweep(
+                    ext, b_ext, row0, nxg=nx,
+                    inv_dx2=1.0 / (dx * dx), inv_dy2=1.0 / (dy * dy),
+                    volp=volp, sor=p_sor, axis_name=axis,
+                    interpret=pallas_interpret,
+                )
+                rms = None
+                if with_rms:
+                    rms = jnp.sqrt(jax.lax.psum(ss, axis) / n_cells)
+                return own, rms
+
+            p = sweep_solve(
+                s.p, None, p_sor, st.pressure_check_every, dtype,
+                sweep_override=sweep_pallas,
+            )
+        else:
+            p = sweep_solve(
+                s.p,
+                partial(pressure_residual, glow=glow_p, ghigh=ghigh_p,
+                        div_sum=div_sum),
+                p_sor, st.pressure_check_every, dtype,
+            )
         p = under_relax_own(p, s.p_old, alpha["p"])
         p = apply_bc_y(p, 2)
 
@@ -353,8 +389,12 @@ def _make_chunk(case: CaseConfig, profile, mesh: Mesh, axis: str,
         return out
 
     specs = _specs(axis)
+    # check_vma must be off on the Pallas path: vma propagation through
+    # pallas_call's interpret evaluator rejects mixed-vma ref indexing
+    # (jax's own error message names check_vma=False as the workaround)
     return jax.jit(jax.shard_map(
         chunk, mesh=mesh, in_specs=(specs, P()), out_specs=specs,
+        check_vma=not st.use_pallas,
     ))
 
 
@@ -384,9 +424,11 @@ class SpmdSolver:
                 "(the reference-semantics inner loop); use the GSPMD "
                 "ShardedSolver for multigrid on divisible grids"
             )
-        if case.settings.fused_step or case.settings.use_pallas:
-            raise ValueError("SpmdSolver is a jnp shard_map path; fused/"
-                             "pallas single-device kernels don't apply")
+        if case.settings.fused_step:
+            raise ValueError("SpmdSolver shards the step; the fused "
+                             "single-device whole-step kernel doesn't "
+                             "apply (use_pallas=True runs the per-shard "
+                             "Pallas pressure sweep instead)")
         self.case = case
         self.mesh = mesh
         self.axis = axis
