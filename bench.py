@@ -184,12 +184,17 @@ def _pallas_parity_gate():
     tdiff = float(jnp.max(jnp.abs(e - f)))
     out["tiled_kernel_max_abs_diff"] = tdiff
 
-    # slab-streamed V-cycle kernel vs the jnp V-cycle: same solve, lagged
-    # exit check (converged fields agree past the tolerance)
+    # slab-streamed V-cycle kernel vs the jnp V-cycle at FORCED equal
+    # cycle counts (the streamed exit check lags one cycle by design, so
+    # tolerance-stopped fields are two differently-stopped iterates; a
+    # pinned count makes the gate f32-rounding sharp - it caught the
+    # bf16 default-precision MXU transfer matmuls)
     from sr_for_cfd_tpu.ops.pallas_stream import stream_mg_solve_pressure
 
-    g = stream_mg_solve_pressure(p0, ff, slab_rows=64, **mg_kw)
-    sdiff = float(jnp.max(jnp.abs(c - g)))
+    forced = dict(mg_kw, tol=1e-30, max_cycles=6)
+    c6 = mg_solve_pressure(p0, ff, **forced)
+    g = stream_mg_solve_pressure(p0, ff, slab_rows=64, **forced)
+    sdiff = float(jnp.max(jnp.abs(c6 - g)))
     out["streamed_mg_kernel_max_abs_diff"] = sdiff
 
     # fused whole step with the in-kernel V-cycle vs the jnp-multigrid step

@@ -199,10 +199,16 @@ def make_level_ops(mat_vals, plan: MGPlan, *, n_pre, n_post, sor,
         return jax.lax.fori_loop(0, n_sweeps, sweep, f)
 
     def transfer(x, row, colT):
+        # precision=HIGHEST: a default-precision MXU dot runs bf16 inputs
+        # (measured ~1e-1 abs error on O(8) operands; ~4e-3 drift per
+        # V-cycle vs the jnp path's exact-f32 VPU resize). Full-f32 MXU
+        # passes are noise next to the bandwidth-bound smoother.
         if row is not None:
-            x = jnp.dot(row, x, preferred_element_type=jnp.float32)
+            x = jnp.dot(row, x, preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
         if colT is not None:
-            x = jnp.dot(x, colT, preferred_element_type=jnp.float32)
+            x = jnp.dot(x, colT, preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
         return x
 
     def v_cycle(x, b, lvl):

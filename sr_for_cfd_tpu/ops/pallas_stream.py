@@ -179,7 +179,8 @@ def _pass_a_kernel(x_ref, b_ref, *rest, R, W, nf, Ha, k1, inv_dx2, inv_dy2,
 
         if coarsen_y:
             r_cols = jnp.dot(r_own, rct_ref[:],
-                             preferred_element_type=jnp.float32)
+                             preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.HIGHEST)
         else:
             r_cols = r_own
         mcc = r_cols.shape[1]
@@ -235,7 +236,9 @@ def _coarse_kernel(rc_ref, *rest, subplan, scale0, coarsen_x, n_pre,
     )
     e = v_cycle(jnp.zeros(subplan.sizes[0], jnp.float32), rc, 0)
     if coarsen_y:
-        e = jnp.dot(e, pct_ref[:], preferred_element_type=jnp.float32)
+        # HIGHEST: default MXU dot is bf16 - see pallas_mg.transfer
+        e = jnp.dot(e, pct_ref[:], preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
     # edge-replicated row padding: hbp rows on top (prolongation's edge
     # clamp + negative slice offsets at the first slab), the rest on the
     # bottom (ragged final slabs slice past nc; the replicated rows are

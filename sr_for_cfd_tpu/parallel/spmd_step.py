@@ -418,6 +418,13 @@ class SpmdSolver:
                 f"nx = {case.mesh.nx} must divide over {n_dev} '{axis}' "
                 f"devices (interior-row decomposition)"
             )
+        if case.settings.spmd_devices not in (1, n_dev):
+            raise ValueError(
+                f"spmd_devices={case.settings.spmd_devices} does not match "
+                f"the {n_dev}-device '{axis}' mesh: the config-time VMEM "
+                "gate scaled the per-rank Pallas working set by a "
+                "decomposition factor this mesh won't deliver"
+            )
         if case.settings.pressure_solver != "sweeps":
             raise ValueError(
                 "SpmdSolver currently supports pressure_solver='sweeps' "

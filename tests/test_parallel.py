@@ -306,3 +306,22 @@ def test_spmd_pallas_pressure_bfs():
     fa, fb = a.global_fields(), b.global_fields()
     for k in ("u", "v", "p"):
         np.testing.assert_allclose(fb[k], fa[k], atol=2e-5)
+
+
+def test_spmd_devices_scales_vmem_gate():
+    """A 1024^2 use_pallas+sweeps case is over the single-device VMEM
+    gate but passes when the config declares an 8-way decomposition -
+    and SpmdSolver rejects a mesh that doesn't deliver that factor."""
+    import pytest
+
+    from sr_for_cfd_tpu.parallel.spmd_step import SpmdSolver
+    from sr_for_cfd_tpu.solver.cases import make_cavity_solver
+
+    kw = dict(Re=100, nx=1024, ny=1024, dt=1e-3, scheme="UPWIND",
+              dtype="float32", use_pallas=True)
+    with pytest.raises(ValueError, match="VMEM"):
+        make_cavity_solver(**kw)
+    case = make_cavity_solver(spmd_devices=8, **kw).case
+    with pytest.raises(ValueError, match="spmd_devices"):
+        SpmdSolver(case, make_mesh(4, "x"))
+    SpmdSolver(case, make_mesh(8, "x"))  # constructs (no solve: slow)

@@ -64,12 +64,19 @@ def test_mg_kernel_matches_jnp(poisson_128):
 
 
 def test_streamed_mg_kernel_matches_jnp(poisson_128):
+    """Forced-equal-cycles: the streamed kernel's exit check lags one
+    cycle by design, so tolerance-stopped fields are two differently-
+    stopped iterates (~4e-5 apart) - pinning the cycle count makes the
+    gate sharp (f32 rounding). This gate caught the default-precision
+    MXU transfer matmuls running bf16 on silicon (4e-3/cycle drift,
+    invisible in interpret mode - now Precision.HIGHEST)."""
     from sr_for_cfd_tpu.ops.multigrid import mg_solve_pressure
     from sr_for_cfd_tpu.ops.pallas_stream import stream_mg_solve_pressure
 
     p0, ff, kw = poisson_128
-    c = mg_solve_pressure(p0, ff, max_cycles=20, **kw)
-    g = stream_mg_solve_pressure(p0, ff, max_cycles=20, slab_rows=64, **kw)
+    kw = dict(kw, tol=1e-30)
+    c = mg_solve_pressure(p0, ff, max_cycles=6, **kw)
+    g = stream_mg_solve_pressure(p0, ff, max_cycles=6, slab_rows=64, **kw)
     assert float(jnp.max(jnp.abs(c - g))) <= 1e-5
 
 
