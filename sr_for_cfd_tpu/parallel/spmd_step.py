@@ -119,6 +119,17 @@ def _make_step(case: CaseConfig, profile: Optional[BFSInletProfile],
     # rank's block is VMEM-resident, halos still travel by ppermute
     use_pallas_p = st.use_pallas
     pallas_interpret = jax.default_backend() != "tpu"
+    use_mg_p = st.pressure_solver == "multigrid"
+    if use_mg_p:
+        from .spmd_mg import make_spmd_mg_solve, plan_spmd_mg
+
+        mg_plan = plan_spmd_mg(nx, ny, dx, dy, volp, n_dev,
+                               np.dtype(st.dtype), min_size=st.mg_min_size)
+        mg_solve = make_spmd_mg_solve(
+            mg_plan, axis, n_dev, tol=st.inner_tolerance,
+            n_pre=st.mg_n_pre, n_post=st.mg_n_post,
+            coarsest_sweeps=st.mg_coarsest_sweeps,
+        )
     alpha = {k: st.relax(k) for k in ("u", "v", "p")}
     fwd = [(i, (i + 1) % n_dev) for i in range(n_dev)]
     bwd = [(i, (i - 1) % n_dev) for i in range(n_dev)]
@@ -289,7 +300,23 @@ def _make_step(case: CaseConfig, profile: Optional[BFSInletProfile],
         # -- pressure (frozen ghosts at entry) ----------------------------
         glow_p, ghigh_p = ghosts(s.p, 2)
         div_sum = ff.divergence_sum()
-        if use_pallas_p:
+        if use_mg_p:
+            # same frozen-ghost system as mg_solve_pressure: fold the
+            # ghost ring's off-diagonal Laplacian terms into the RHS,
+            # leaving a homogeneous-Dirichlet interior V-cycle
+            rank = rank_of()
+            inv_dx2, inv_dy2 = 1.0 / (dx * dx), 1.0 / (dy * dy)
+            fold = jnp.zeros_like(div_sum)
+            fold = fold.at[:, 0].add(inv_dy2 * s.p[:, 0])
+            fold = fold.at[:, -1].add(inv_dy2 * s.p[:, -1])
+            fold = fold.at[0, :].add(
+                jnp.where(rank == 0, inv_dx2 * glow_p[1:-1], 0.0))
+            fold = fold.at[-1, :].add(
+                jnp.where(rank == n_dev - 1, inv_dx2 * ghigh_p[1:-1], 0.0))
+            b_eff = rho / dt * div_sum - volp * fold
+            x, _ = mg_solve(s.p[:, 1:-1], b_eff)
+            p = s.p.at[:, 1:-1].set(x)
+        elif use_pallas_p:
             from .spmd_pallas import extend_b_halo, shard_rb_sweep
 
             rank = rank_of()
@@ -425,11 +452,11 @@ class SpmdSolver:
                 "gate scaled the per-rank Pallas working set by a "
                 "decomposition factor this mesh won't deliver"
             )
-        if case.settings.pressure_solver != "sweeps":
+        if case.settings.pressure_solver not in ("sweeps", "multigrid"):
             raise ValueError(
-                "SpmdSolver currently supports pressure_solver='sweeps' "
-                "(the reference-semantics inner loop); use the GSPMD "
-                "ShardedSolver for multigrid on divisible grids"
+                "SpmdSolver supports pressure_solver='sweeps' (reference-"
+                "semantics inner loop) or 'multigrid' (sharded V-cycles, "
+                f"parallel/spmd_mg.py); got {case.settings.pressure_solver!r}"
             )
         if case.settings.fused_step:
             raise ValueError("SpmdSolver shards the step; the fused "

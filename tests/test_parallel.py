@@ -325,3 +325,56 @@ def test_spmd_devices_scales_vmem_gate():
     with pytest.raises(ValueError, match="spmd_devices"):
         SpmdSolver(case, make_mesh(4, "x"))
     SpmdSolver(case, make_mesh(8, "x"))  # constructs (no solve: slow)
+
+
+def test_spmd_multigrid_matches_single_device():
+    """Sharded V-cycle pressure (parallel/spmd_mg.py): same level
+    schedule/smoother/transfers as mg_solve_pressure, decomposed - one
+    sharded fine level (64 rows over 8 ranks) + replicated tail. Outer
+    trajectories match the single-device multigrid solver to f64
+    reduction-order rounding."""
+    from sr_for_cfd_tpu.parallel.spmd_step import SpmdSolver
+    from sr_for_cfd_tpu.solver.cases import make_cavity_solver
+
+    kw = dict(Re=100, nx=64, ny=64, dt=2e-3, scheme="UPWIND",
+              dtype="float64", chunk_size=100, max_iterations=200,
+              pressure_solver="multigrid")
+    ref = make_cavity_solver(**kw)
+    ref.solve("/tmp/unused_spmd_mg", verbose=False, save_results=False)
+
+    solver = SpmdSolver(make_cavity_solver(**kw).case, make_mesh(8, "x"))
+    local = solver.solve()
+    assert int(local.count) == int(ref.state.count)
+    fields = solver.global_fields()
+    for k in ("u", "v", "p"):
+        np.testing.assert_allclose(
+            fields[k], np.asarray(getattr(ref.state, k)), atol=1e-8
+        )
+
+
+def test_spmd_multigrid_two_sharded_levels():
+    """128^2 over 8 ranks shards TWO levels (rows 16 then 8) before the
+    replicated tail - exercises sharded-to-sharded restriction/
+    prolongation (banded operator slices + halo exchange)."""
+    from sr_for_cfd_tpu.parallel.spmd_step import SpmdSolver
+    from sr_for_cfd_tpu.parallel.spmd_mg import plan_spmd_mg
+    from sr_for_cfd_tpu.solver.cases import make_cavity_solver
+
+    plan = plan_spmd_mg(128, 128, 1 / 128, 1 / 128, (1 / 128) ** 2, 8,
+                        np.dtype("float64"))
+    assert plan.n_shard == 2
+
+    kw = dict(Re=100, nx=128, ny=128, dt=2e-3, scheme="UPWIND",
+              dtype="float64", chunk_size=30, max_iterations=60,
+              pressure_solver="multigrid")
+    ref = make_cavity_solver(**kw)
+    ref.solve("/tmp/unused_spmd_mg2", verbose=False, save_results=False)
+
+    solver = SpmdSolver(make_cavity_solver(**kw).case, make_mesh(8, "x"))
+    local = solver.solve()
+    assert int(local.count) == int(ref.state.count)
+    fields = solver.global_fields()
+    for k in ("u", "v", "p"):
+        np.testing.assert_allclose(
+            fields[k], np.asarray(getattr(ref.state, k)), atol=1e-8
+        )
