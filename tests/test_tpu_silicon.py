@@ -144,3 +144,30 @@ def test_fused_step_counters_on_silicon():
     assert set(vals) == {"u", "v", "p"}
     assert all(v >= 0 for v in vals.values())
     assert vals["p"] >= 1  # at least one V-cycle ran
+
+
+def test_spmd_pallas_kernel_on_silicon():
+    """The per-shard pressure sweep kernel (parallel/spmd_pallas.py)
+    Mosaic-compiled on real silicon via a 1-device mesh (the kernel and
+    its layout are rank-count-independent; only the ppermute ring is
+    trivial here). Matches the jnp shard_map sweep like the 8-rank
+    interpret-mode tests."""
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from sr_for_cfd_tpu.parallel.spmd_step import SpmdSolver
+    from sr_for_cfd_tpu.solver.cases import make_cavity_solver
+
+    _require_tpu()
+    mesh = Mesh(np.array(jax.devices()[:1]), ("x",))
+    kw = dict(Re=100, nx=64, ny=64, dt=2e-3, scheme="UPWIND",
+              dtype="float32", chunk_size=40, max_iterations=80,
+              inner_max_iter=40)
+    a = SpmdSolver(make_cavity_solver(**kw).case, mesh)
+    a.solve()
+    b = SpmdSolver(make_cavity_solver(use_pallas=True, **kw).case, mesh)
+    b.solve()
+    assert int(b.local.count) == int(a.local.count)
+    fa, fb = a.global_fields(), b.global_fields()
+    for k in ("u", "v", "p"):
+        np.testing.assert_allclose(fb[k], fa[k], atol=2e-5)
