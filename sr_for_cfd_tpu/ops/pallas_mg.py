@@ -76,6 +76,27 @@ def _resize_matrix(n_in: int, n_out: int) -> np.ndarray:
     return np.ascontiguousarray(w.T.astype(np.float32))
 
 
+def mxu_dot_f32(a, b):
+    """f32-accurate matmul from three DEFAULT-precision MXU passes.
+
+    A default-precision Mosaic dot truncates f32 inputs to bf16
+    (measured ~1e-1 abs error on O(8) operands -> ~4e-3/V-cycle iterate
+    drift vs the exact-f32 jnp resize); Precision.HIGHEST fixes it but
+    runs 6 MXU passes (~14% off the fused-step headline, which is
+    transfer-heavy while early pressure solves run many cycles), and
+    Mosaic does not implement Precision.HIGH. So do the classic bf16x3
+    split by hand: with a = a_hi + a_lo (a_hi = bf16(a), exact under the
+    MXU's truncation), the three cross terms recover all but the
+    |a_lo||b_lo| ~ 2^-18 tail - ~1e-6 V-cycle parity (forced-cycle
+    gates need <= 1e-5) at half HIGHEST's cost."""
+    a_hi = a.astype(jnp.bfloat16).astype(jnp.float32)
+    b_hi = b.astype(jnp.bfloat16).astype(jnp.float32)
+    a_lo = a - a_hi
+    b_lo = b - b_hi
+    d = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
+    return d(a_hi, b_hi) + d(a_hi, b_lo) + d(a_lo, b_hi)
+
+
 def _level_consts(n: int, m: int):
     """Per-level red-parity mask (interior-index parity, matching
     `multigrid._red_mask`)."""
@@ -199,16 +220,12 @@ def make_level_ops(mat_vals, plan: MGPlan, *, n_pre, n_post, sor,
         return jax.lax.fori_loop(0, n_sweeps, sweep, f)
 
     def transfer(x, row, colT):
-        # precision=HIGHEST: a default-precision MXU dot runs bf16 inputs
-        # (measured ~1e-1 abs error on O(8) operands; ~4e-3 drift per
-        # V-cycle vs the jnp path's exact-f32 VPU resize). Full-f32 MXU
-        # passes are noise next to the bandwidth-bound smoother.
+        # f32-accurate transfers via the 3-pass split (see mxu_dot_f32):
+        # default bf16 dots drifted 4e-3/V-cycle vs the jnp resize
         if row is not None:
-            x = jnp.dot(row, x, preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST)
+            x = mxu_dot_f32(row, x)
         if colT is not None:
-            x = jnp.dot(x, colT, preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST)
+            x = mxu_dot_f32(x, colT)
         return x
 
     def v_cycle(x, b, lvl):

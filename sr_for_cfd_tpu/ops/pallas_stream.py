@@ -61,7 +61,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .multigrid import MG_MAX_CYCLES, MG_SMOOTHER_SOR, ghost_fold
-from .pallas_mg import MGPlan, _resize_matrix, make_level_ops, plan_hierarchy
+from .pallas_mg import (
+    MGPlan,
+    _resize_matrix,
+    make_level_ops,
+    mxu_dot_f32,
+    plan_hierarchy,
+)
 from .stencil import FaceFluxes
 from .sweeps import stall_update, stalled
 
@@ -178,9 +184,7 @@ def _pass_a_kernel(x_ref, b_ref, *rest, R, W, nf, Ha, k1, inv_dx2, inv_dy2,
         r_own = jnp.where(own & valid, r_fin, 0.0)[Ha:Ha + R]
 
         if coarsen_y:
-            r_cols = jnp.dot(r_own, rct_ref[:],
-                             preferred_element_type=jnp.float32,
-                             precision=jax.lax.Precision.HIGHEST)
+            r_cols = mxu_dot_f32(r_own, rct_ref[:])
         else:
             r_cols = r_own
         mcc = r_cols.shape[1]
@@ -236,9 +240,8 @@ def _coarse_kernel(rc_ref, *rest, subplan, scale0, coarsen_x, n_pre,
     )
     e = v_cycle(jnp.zeros(subplan.sizes[0], jnp.float32), rc, 0)
     if coarsen_y:
-        # HIGHEST: default MXU dot is bf16 - see pallas_mg.transfer
-        e = jnp.dot(e, pct_ref[:], preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST)
+        # f32-accurate 3-pass dot: default MXU dot is bf16 (pallas_mg)
+        e = mxu_dot_f32(e, pct_ref[:])
     # edge-replicated row padding: hbp rows on top (prolongation's edge
     # clamp + negative slice offsets at the first slab), the rest on the
     # bottom (ragged final slabs slice past nc; the replicated rows are
