@@ -219,14 +219,32 @@ def make_level_ops(mat_vals, plan: MGPlan, *, n_pre, n_post, sor,
 
         return jax.lax.fori_loop(0, n_sweeps, sweep, f)
 
-    def transfer(x, row, colT):
-        # f32-accurate transfers via the 3-pass split (see mxu_dot_f32):
-        # default bf16 dots drifted 4e-3/V-cycle vs the jnp resize
-        if row is not None:
-            x = mxu_dot_f32(row, x)
-        if colT is not None:
-            x = mxu_dot_f32(x, colT)
-        return x
+    def row_restrict_conv(r, nc):
+        """Exact-2x row restriction as the [1,3,3,1] stride-2 conv with
+        1/8 interior / 1/7 boundary renorm - the row action of
+        `_resize_matrix(2nc, nc)` exactly (the decomposition the streamed
+        kernel uses, ops/pallas_stream.py), on the VPU instead of a
+        dense (nc, nf) MXU matmul whose band is 99% zeros."""
+        m = r.shape[1]
+        zr = jnp.zeros((1, m), r.dtype)
+        half = jnp.concatenate([zr, r, zr], axis=0).reshape(nc + 1, 2, m)
+        ev, od = half[:, 0], half[:, 1]
+        u = ev[:-1] + 3.0 * od[:-1] + 3.0 * ev[1:] + od[1:]
+        rows = jax.lax.broadcasted_iota(jnp.int32, (nc, 1), 0)
+        boundary = (rows == 0) | (rows == nc - 1)
+        return u * jnp.where(boundary, jnp.float32(1.0 / 7.0),
+                             jnp.float32(1.0 / 8.0))
+
+    def row_prolong_conv(e):
+        """Exact-2x row prolongation: [0.75, 0.25] two-tap interpolation
+        with edge-replicated boundary collapse - the row action of
+        `_resize_matrix(nc, 2nc)` exactly."""
+        nc, m = e.shape
+        ep = jnp.concatenate([e[:1], e, e[-1:]], axis=0)
+        em1, em, ep1 = ep[:-2], ep[1:-1], ep[2:]
+        c_even = 0.75 * em + 0.25 * em1
+        c_odd = 0.75 * em + 0.25 * ep1
+        return jnp.stack([c_even, c_odd], axis=1).reshape(2 * nc, m)
 
     def v_cycle(x, b, lvl):
         if lvl + 1 >= n_lv:
@@ -234,9 +252,21 @@ def make_level_ops(mat_vals, plan: MGPlan, *, n_pre, n_post, sor,
         x = smooth(x, b, lvl, n_pre, sor)
         r = b - lap(x, lvl)
         r_row, rc_t, p_row, pc_t = mats[lvl]
-        r_c = transfer(r, r_row, rc_t) * scales[lvl]
+        nf_l, nc_l = sizes[lvl][0], sizes[lvl + 1][0]
+        exact2x = nc_l * 2 == nf_l
+        if r_row is not None:
+            r = (row_restrict_conv(r, nc_l) if exact2x
+                 else mxu_dot_f32(r_row, r))
+        if rc_t is not None:
+            r = mxu_dot_f32(r, rc_t)
+        r_c = r * scales[lvl]
         e_c = v_cycle(jnp.zeros(sizes[lvl + 1], jnp.float32), r_c, lvl + 1)
-        x = x + transfer(e_c, p_row, pc_t)
+        if pc_t is not None:
+            e_c = mxu_dot_f32(e_c, pc_t)
+        if p_row is not None:
+            e_c = (row_prolong_conv(e_c) if exact2x
+                   else mxu_dot_f32(p_row, e_c))
+        x = x + e_c
         x = smooth(x, b, lvl, n_post, sor)
         return x
 
