@@ -98,18 +98,38 @@ def simple_step(
     counts = {}
 
     # -- momentum ------------------------------------------------------
-    u = solve_momentum(
+    # big-grid Pallas path: each red-black momentum sweep fused into ONE
+    # HBM pass (ops/pallas_momentum.py; same residual/loop semantics) -
+    # at 1024^2+ the momentum loops dominate the non-fused step, and the
+    # XLA lowering makes several passes per half-sweep
+    if (st.use_pallas and st.inner_scheme == "redblack"
+            and st.dtype == "float32"
+            and (st.mg_slab_rows > 0
+                 or mesh.nx * mesh.ny > STREAM_MG_CELL_THRESHOLD)):
+        from ..ops.pallas_momentum import tiled_solve_momentum
+        from ..ops.pallas_stream import SLAB_ROWS
+
+        mom_solve = partial(
+            tiled_solve_momentum,
+            slab_rows=st.mg_slab_rows or SLAB_ROWS,
+            interpret=jax.default_backend() != "tpu",
+            **{k: v for k, v in sweep_kw.items() if k != "inner_scheme"},
+        )
+    else:
+        mom_solve = partial(solve_momentum, **sweep_kw)
+
+    u = mom_solve(
         u, state.u_old, state.ff, scheme=st.scheme, dx=dx, dy=dy, dt=dt,
-        nu=nu, volp=volp, return_count=with_counts, **sweep_kw,
+        nu=nu, volp=volp, return_count=with_counts,
     )
     if with_counts:
         u, counts["u"] = u
     u = under_relax(u, state.u_old, st.relax("u"))
     u = apply_bfs_inlet(apply_bc(u, case.u_bc), 0, profile)
 
-    v = solve_momentum(
+    v = mom_solve(
         v, state.v_old, state.ff, scheme=st.scheme, dx=dx, dy=dy, dt=dt,
-        nu=nu, volp=volp, return_count=with_counts, **sweep_kw,
+        nu=nu, volp=volp, return_count=with_counts,
     )
     if with_counts:
         v, counts["v"] = v
