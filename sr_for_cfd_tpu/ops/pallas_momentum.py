@@ -75,11 +75,14 @@ def _shift_cols(x, shift):
 
 
 def _sweep_kernel(x_ref, o_ref, fe_ref, fn_ref, fw_ref, fs_ref, nu_ref,
-                  out_ref, rms_ref, *scratch, R, W, nx, ny, H, quick,
-                  inv_dx2, inv_dy2, volp, dt, ap_d):
+                  out_ref, rms_ref, *scratch, R, W, nx, ny, H, k_sweeps,
+                  quick, inv_dx2, inv_dy2, volp, dt, ap_d):
     """One grid step: compute slab i from carries + lookahead of all six
-    streamed arrays, write slab i's updated x, accumulate the rms
-    partial. Scratch layout: (s_x, t_x, s_o, t_o, s_fe, t_fe, ...)."""
+    streamed arrays, run k_sweeps FULL red-black sweeps (halo width
+    H = 3k (QUICK) / 2k covers the progressive erosion of valid halo
+    rows - the pallas_stream pass-A trick), write slab i's updated x,
+    accumulate the LAST sweep's rms partial. Scratch layout:
+    (s_x, t_x, s_o, t_o, s_fe, t_fe, ...)."""
     i = pl.program_id(0)
     n_steps = pl.num_programs(0)
     cur = (x_ref[:], o_ref[:], fe_ref[:], fn_ref[:], fw_ref[:], fs_ref[:])
@@ -151,10 +154,12 @@ def _sweep_kernel(x_ref, o_ref, fe_ref, fn_ref, fw_ref, fs_ref, nu_ref,
             ap = volp / dt + sum_flux * volp - nu * ap_d
             return r, ap
 
-        r1, ap1 = residual(x)
-        x = x + jnp.where(red, r1 / ap1, 0.0)
-        r2, ap2 = residual(x)
-        x = x + jnp.where(black, r2 / ap2, 0.0)
+        r1 = r2 = None
+        for _ in range(k_sweeps):
+            r1, ap1 = residual(x)
+            x = x + jnp.where(red, r1 / ap1, 0.0)
+            r2, ap2 = residual(x)
+            x = x + jnp.where(black, r2 / ap2, 0.0)
 
         part = jnp.sum(jnp.where(own & red, r1 * r1, 0.0)
                        + jnp.where(own & black, r2 * r2, 0.0))
@@ -175,6 +180,35 @@ def _pad_slabs(x, R):
     total = (2 + -(-nrows // R)) * R
     out = jnp.zeros((total, W), x.dtype)
     return out.at[R:R + nrows].set(x)
+
+
+def _pad_interior(x, R, nrows, W):
+    """Interior-shaped -> slab-padded in ONE materialization (a two-stage
+    ghost-pad + slab-pad costs 4 HBM passes per array - ~0.5 ms/solve at
+    1024^2, swamping the fused-sweep savings)."""
+    total = (2 + -(-nrows // R)) * R
+    nx = nrows - 2
+    return (jnp.zeros((total, W), jnp.float32)
+            .at[R + 1:R + 1 + nx, 1:-1].set(x))
+
+
+def resolve_slab_rows(slab_rows: int, W: int) -> int:
+    """Auto-shrink wide slabs: a (256, 2050) slab program crashes the TPU
+    compile helper (measured at 2048^2); ~1 MiB slabs compile fine and
+    the pipeline cost is slab-count-insensitive (module docstring)."""
+    R = slab_rows
+    while R > 8 and R * W * 4 > (1 << 20):
+        R //= 2
+    return R
+
+
+def pad_ff_slabs(ff: FaceFluxes, slab_rows, nrows, W):
+    """Slab-pad the (frozen) face fluxes ONCE per outer step: the u and v
+    momentum solves share them, so the caller can hoist this and pass the
+    tuple as `ff` to both `tiled_solve_momentum` calls (same slab_rows)."""
+    R = resolve_slab_rows(slab_rows, W)
+    return tuple(_pad_interior(f, R, nrows, W)
+                 for f in (ff.e, ff.n, ff.w, ff.s))
 
 
 def _vmem_params(interpret):
@@ -214,28 +248,38 @@ def tiled_solve_momentum(
     (phi, sweeps_run)."""
     nrows, W = phi.shape
     nx, ny = nrows - 2, W - 2
-    R = slab_rows
+    R = resolve_slab_rows(slab_rows, W)
     quick = scheme == QUICK
-    H = 3 if quick else 2
+    # ALL check_every sweeps run inside one kernel pass (the rms is only
+    # read at that cadence anyway): per-pass HBM traffic is ~constant, so
+    # k sweeps cost ~1 sweep's bandwidth
+    k_sweeps = max(1, check_every)
+    H = (3 if quick else 2) * k_sweeps
     if R < H:
-        raise ValueError("slab_rows smaller than the halo width")
+        raise ValueError(
+            f"slab_rows={R} smaller than the {H}-row halo "
+            f"({k_sweeps} sweeps/pass) - raise slab_rows or lower "
+            "check_every")
     inv_dx2, inv_dy2 = 1.0 / (dx * dx), 1.0 / (dy * dy)
     ap_d = -volp * (2.0 * inv_dx2 + 2.0 * inv_dy2)
     n_cells = nx * ny
 
-    def pad_int(x):  # interior-shaped -> padded-shaped (zero ghost ring)
-        return jnp.zeros((nrows, W), jnp.float32).at[1:-1, 1:-1].set(x)
-
     xpad = _pad_slabs(phi.astype(jnp.float32), R)
-    opad = _pad_slabs(pad_int(phi_old_int), R)
-    fpads = [_pad_slabs(pad_int(f), R) for f in
-             (ff.e, ff.n, ff.w, ff.s)]
+    opad = _pad_interior(phi_old_int, R, nrows, W)
+    if isinstance(ff, tuple) and not isinstance(ff, FaceFluxes):
+        fpads = list(ff)  # pre-padded by pad_ff_slabs (shared u/v)
+        if fpads[0].shape != xpad.shape:
+            raise ValueError("pre-padded ff slab shape mismatch")
+    else:
+        fpads = [_pad_interior(f, R, nrows, W)
+                 for f in (ff.e, ff.n, ff.w, ff.s)]
     nu_arr = jnp.full((1, 1), 1.0, jnp.float32) * nu
     n_blocks = xpad.shape[0] // R
 
     kernel = functools.partial(
-        _sweep_kernel, R=R, W=W, nx=nx, ny=ny, H=H, quick=quick,
-        inv_dx2=inv_dx2, inv_dy2=inv_dy2, volp=volp, dt=dt, ap_d=ap_d,
+        _sweep_kernel, R=R, W=W, nx=nx, ny=ny, H=H, k_sweeps=k_sweeps,
+        quick=quick, inv_dx2=inv_dx2, inv_dy2=inv_dy2, volp=volp, dt=dt,
+        ap_d=ap_d,
     )
 
     def load_idx(i):
@@ -269,16 +313,11 @@ def tiled_solve_momentum(
         out, ss = sweep_call(x, opad, *fpads, nu_arr)
         return out, jnp.sqrt(ss[0, 0] / n_cells)
 
-    m_check = max(1, check_every)
-
     def body(carry):
         f, prev, best, stale, checks, it = carry
-        f = jax.lax.fori_loop(
-            0, m_check - 1, lambda _, g: sweep(g)[0], f
-        )
-        f, rms = sweep(f)
+        f, rms = sweep(f)  # k_sweeps sweeps + the last one's rms
         stale, best = stall_update(rms, prev, best, stale)
-        return f, rms, best, stale, checks + 1, it + m_check
+        return f, rms, best, stale, checks + 1, it + k_sweeps
 
     def cond(carry):
         _, rms, best, stale, checks, it = carry

@@ -109,17 +109,30 @@ def simple_step(
         from ..ops.pallas_momentum import tiled_solve_momentum
         from ..ops.pallas_stream import SLAB_ROWS
 
+        from ..ops.pallas_momentum import pad_ff_slabs
+
+        tiled_kw = {k: v for k, v in sweep_kw.items()
+                    if k != "inner_scheme"}
+        # >= 3 sweeps per kernel pass: per-pass traffic is ~constant, and
+        # the warm momentum solve takes ~3 sweeps anyway. Same overshoot
+        # semantics as check_every (<= k-1 extra sweeps only sharpen)
+        tiled_kw["check_every"] = max(3, tiled_kw["check_every"])
+        slab_r = st.mg_slab_rows or SLAB_ROWS
+        # the frozen fluxes are shared by the u and v solves: slab-pad
+        # them ONCE per step (each pad is a full HBM materialization)
+        ff_pads = pad_ff_slabs(state.ff, slab_r, mesh.nx + 2, mesh.ny + 2)
         mom_solve = partial(
             tiled_solve_momentum,
-            slab_rows=st.mg_slab_rows or SLAB_ROWS,
+            slab_rows=slab_r,
             interpret=jax.default_backend() != "tpu",
-            **{k: v for k, v in sweep_kw.items() if k != "inner_scheme"},
+            **tiled_kw,
         )
     else:
         mom_solve = partial(solve_momentum, **sweep_kw)
+        ff_pads = state.ff
 
     u = mom_solve(
-        u, state.u_old, state.ff, scheme=st.scheme, dx=dx, dy=dy, dt=dt,
+        u, state.u_old, ff_pads, scheme=st.scheme, dx=dx, dy=dy, dt=dt,
         nu=nu, volp=volp, return_count=with_counts,
     )
     if with_counts:
@@ -128,7 +141,7 @@ def simple_step(
     u = apply_bfs_inlet(apply_bc(u, case.u_bc), 0, profile)
 
     v = mom_solve(
-        v, state.v_old, state.ff, scheme=st.scheme, dx=dx, dy=dy, dt=dt,
+        v, state.v_old, ff_pads, scheme=st.scheme, dx=dx, dy=dy, dt=dt,
         nu=nu, volp=volp, return_count=with_counts,
     )
     if with_counts:

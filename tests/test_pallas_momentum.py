@@ -45,7 +45,7 @@ def test_slab_size_invariance():
     outs = [
         np.asarray(tiled_solve_momentum(u, old, ff, scheme="QUICK",
                                         slab_rows=r, interpret=True, **kw))
-        for r in (8, 16, 48)
+        for r in (16, 24, 48)  # >= the 9-row halo (3 sweeps/pass, QUICK)
     ]
     np.testing.assert_allclose(outs[0], outs[1], atol=1e-6)
     np.testing.assert_allclose(outs[0], outs[2], atol=1e-6)
