@@ -23,6 +23,13 @@ DIRICHLET = "dirichlet"
 NEUMANN = "neumann"
 
 QUICK = "QUICK"
+
+# Auto-dispatch boundary between the VMEM-resident fused V-cycle kernel
+# (ops/pallas_mg.py) and the slab-streamed one (ops/pallas_stream.py):
+# ~1.35M interior cells (~1160^2) keeps the resident kernel under the
+# 100 MiB scoped-VMEM budget with margin. Shared by the solver dispatch
+# (solver/simple.py) and the config-time streamed-kernel validation.
+STREAM_MG_CELL_THRESHOLD = 1_350_000
 UPWIND = "UPWIND"
 
 
@@ -481,6 +488,23 @@ class CaseConfig:
                     f"~{est / 2**20:.0f} MiB of VMEM (>100 MiB budget). Use "
                     "pressure_solver='multigrid' (use_pallas streams it "
                     "through VMEM at any size) for grids beyond ~900^2."
+                )
+        if settings.use_pallas and settings.pressure_solver == "multigrid":
+            # the auto-routed slab-streamed V-cycle's own constraints,
+            # surfaced at config time instead of the first pressure solve
+            streams = (settings.mg_slab_rows > 0
+                       or mesh.nx * mesh.ny > STREAM_MG_CELL_THRESHOLD)
+            if streams and (mesh.nx % 2 or mesh.ny % 2):
+                raise ValueError(
+                    "use_pallas + multigrid past the VMEM wall streams "
+                    f"the V-cycle, which needs even nx, ny (got {mesh.nx}"
+                    f"x{mesh.ny}); drop use_pallas or use an even grid"
+                )
+            if streams and (settings.mg_n_pre < 1 or settings.mg_n_post < 1):
+                raise ValueError(
+                    "the slab-streamed V-cycle needs mg_n_pre >= 1 and "
+                    "mg_n_post >= 1 (its entry-residual RMS and halo "
+                    "widths are built from the smoothing sweeps)"
                 )
         return cls(
             mesh=mesh,

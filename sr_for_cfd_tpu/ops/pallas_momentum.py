@@ -50,6 +50,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..config import QUICK
+from .pallas_tiled import _pad_slabs, _vmem_params
 from .stencil import FaceFluxes
 from .sweeps import stall_update, stalled
 
@@ -175,13 +176,6 @@ def _sweep_kernel(x_ref, o_ref, fe_ref, fn_ref, fw_ref, fs_ref, nu_ref,
         s[:] = c
 
 
-def _pad_slabs(x, R):
-    nrows, W = x.shape
-    total = (2 + -(-nrows // R)) * R
-    out = jnp.zeros((total, W), x.dtype)
-    return out.at[R:R + nrows].set(x)
-
-
 def _pad_interior(x, R, nrows, W):
     """Interior-shaped -> slab-padded in ONE materialization (a two-stage
     ghost-pad + slab-pad costs 4 HBM passes per array - ~0.5 ms/solve at
@@ -209,13 +203,6 @@ def pad_ff_slabs(ff: FaceFluxes, slab_rows, nrows, W):
     R = resolve_slab_rows(slab_rows, W)
     return tuple(_pad_interior(f, R, nrows, W)
                  for f in (ff.e, ff.n, ff.w, ff.s))
-
-
-def _vmem_params(interpret):
-    if interpret:
-        return {}
-    return {"compiler_params": pltpu.CompilerParams(
-        vmem_limit_bytes=100 * 1024 * 1024)}
 
 
 @functools.partial(

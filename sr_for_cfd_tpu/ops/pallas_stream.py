@@ -68,6 +68,7 @@ from .pallas_mg import (
     mxu_dot_f32,
     plan_hierarchy,
 )
+from .pallas_tiled import _pad_slabs, _vmem_params
 from .stencil import FaceFluxes
 from .sweeps import stall_update, stalled
 
@@ -115,15 +116,6 @@ def _lap_win(f, inv_dx2, inv_dy2, volp):
     ss = jnp.concatenate([zc, f[:, :-1]], axis=1)
     return volp * ((e - 2.0 * f + w) * inv_dx2
                    + (nn - 2.0 * f + ss) * inv_dy2)
-
-
-def _pad_slabs(x, R):
-    """One zero slab above the data, zero fill to a slab multiple below
-    (the zero padding doubles as the homogeneous-Dirichlet exterior)."""
-    nrows, W = x.shape
-    total = (2 + -(-nrows // R)) * R
-    out = jnp.zeros((total, W), x.dtype)
-    return out.at[R:R + nrows].set(x)
 
 
 def _pass_a_kernel(x_ref, b_ref, *rest, R, W, nf, Ha, k1, inv_dx2, inv_dy2,
@@ -317,13 +309,6 @@ def _pass_b_kernel(x_ref, b_ref, e2_ref, xo_ref, s_x, s_b, t_x, t_b, *,
     s_b[:] = cur_b
 
 
-def _vmem_params(interpret):
-    if interpret:
-        return {}
-    return {"compiler_params": pltpu.CompilerParams(
-        vmem_limit_bytes=100 * 1024 * 1024)}
-
-
 @functools.partial(
     jax.jit,
     static_argnames=("dx", "dy", "dt", "rho", "volp", "tol", "max_cycles",
@@ -363,6 +348,10 @@ def stream_mg_solve_pressure(
     plan = plan_hierarchy(nx, ny, dx, dy, volp, min_size=min_size)
     if len(plan.sizes) < 2:
         raise ValueError("grid too small for a multigrid hierarchy")
+    if n_pre < 1 or n_post < 1:
+        raise ValueError("the streamed V-cycle needs n_pre >= 1 and "
+                         "n_post >= 1 (entry-rms and halo widths are "
+                         "built from the smoothing sweeps)")
     coarsen_x = not plan.idents[0][0]
     coarsen_y = not plan.idents[0][1]
     nc, mc = plan.sizes[1]

@@ -166,9 +166,19 @@ def tiled_rb_sweep(fpad, bpad, *, R, nrows, ny, inv_dx2, inv_dy2, volp,
     return out, jnp.sqrt(ss[0, 0] / n_cells)
 
 
+def _vmem_params(interpret):
+    """Shared 100 MiB scoped-VMEM budget for all slab-streamed kernels
+    (the 16 MiB default rejects double-buffered slabs at 2048^2)."""
+    if interpret:
+        return {}
+    return {"compiler_params": pltpu.CompilerParams(
+        vmem_limit_bytes=100 * 1024 * 1024)}
+
+
 def _pad_slabs(x, R):
     """Pad (nrows, W) with one zero slab on top, round the total row count
-    up to cover a trailing zero slab as well."""
+    up to cover a trailing zero slab as well. Canonical copy - the other
+    slab-streamed kernels (pallas_stream, pallas_momentum) import it."""
     nrows, W = x.shape
     total = (2 + -(-nrows // R)) * R
     out = jnp.zeros((total, W), x.dtype)

@@ -112,7 +112,6 @@ def _make_step(case: CaseConfig, profile: Optional[BFSInletProfile],
     dx, dy, volp, dt = mcfg.dx, mcfg.dy, mcfg.volp, st.dt
     rho = fluid.rho
     quick = st.scheme == QUICK
-    h_mom = 2 if quick else 1
     n_cells = nx * ny
     p_sor = min(st.pressure_sor, optimal_sor(nx, ny))
     # per-shard Pallas pressure sweep (parallel/spmd_pallas.py): each
@@ -476,6 +475,11 @@ class SpmdSolver:
             _CHUNK_CACHE[key] = _make_chunk(
                 case, self.profile, mesh, axis, case.settings.chunk_size
             )
+        else:
+            # LRU, not FIFO: refresh recency on hit so workloads cycling
+            # >16 (mesh, case) combos evict the coldest compiled chunk,
+            # not potentially the hottest (each miss is a full re-jit)
+            _CHUNK_CACHE[key] = _CHUNK_CACHE.pop(key)
         self._chunk_fn = _CHUNK_CACHE[key]
         self.local = self._to_local(init_state(case))
 

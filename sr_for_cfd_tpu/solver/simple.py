@@ -26,6 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import (
+    STREAM_MG_CELL_THRESHOLD,
     BFSGeometry,
     BoundaryConditions,
     CaseConfig,
@@ -44,13 +45,6 @@ from ..ops.stencil import (
 from ..ops.sweeps import solve_momentum, solve_pressure
 from .state import SolverState, init_state, inlet_profile, warm_start_state
 
-# Auto-dispatch boundary between the VMEM-resident fused V-cycle kernel
-# (ops/pallas_mg.py; hierarchy + transfer matrices on-chip, measured
-# ~27 MiB at 1024^2) and the slab-streamed kernel (ops/pallas_stream.py).
-# 1.35M interior cells (~1160^2) keeps the resident kernel comfortably
-# under the 100 MiB scoped-VMEM budget with margin for the caller's
-# surrounding buffers.
-STREAM_MG_CELL_THRESHOLD = 1_350_000
 
 
 def simple_step(
@@ -81,6 +75,16 @@ def simple_step(
     mesh, fluid, st = case.mesh, case.fluid, case.settings
     if nu is None:
         nu = fluid.nu
+    if st.spmd_devices > 1:
+        # the config-time VMEM gate was scaled by this factor on the
+        # promise of an N-way SpmdSolver decomposition; running the case
+        # single-device would hit the opaque Mosaic allocation failure
+        # the gate exists to prevent
+        raise ValueError(
+            f"case declares spmd_devices={st.spmd_devices}: run it "
+            "through parallel.spmd_step.SpmdSolver on a matching mesh, "
+            "not the single-device solver"
+        )
     # config __post_init__ guarantees fused_step implies f32 and a
     # pressure solver with a fused kernel ('sweeps' or 'multigrid'); no
     # silent fallback - incompatible combinations fail at config time
@@ -97,26 +101,35 @@ def simple_step(
     u, v, p = state.u, state.v, state.p
     counts = {}
 
+    # one flag for both dispatch sites (momentum + pressure) so they
+    # cannot drift: past the VMEM wall (or with slab rows forced), the
+    # use_pallas path streams through VMEM instead of residing in it
+    big_grid_pallas = st.use_pallas and (
+        st.mg_slab_rows > 0
+        or mesh.nx * mesh.ny > STREAM_MG_CELL_THRESHOLD
+    )
+
     # -- momentum ------------------------------------------------------
     # big-grid Pallas path: each red-black momentum sweep fused into ONE
     # HBM pass (ops/pallas_momentum.py; same residual/loop semantics) -
     # at 1024^2+ the momentum loops dominate the non-fused step, and the
     # XLA lowering makes several passes per half-sweep
-    if (st.use_pallas and st.inner_scheme == "redblack"
-            and st.dtype == "float32"
-            and (st.mg_slab_rows > 0
-                 or mesh.nx * mesh.ny > STREAM_MG_CELL_THRESHOLD)):
-        from ..ops.pallas_momentum import tiled_solve_momentum
+    if (big_grid_pallas and st.inner_scheme == "redblack"
+            and st.dtype == "float32"):
+        from ..ops.pallas_momentum import pad_ff_slabs, tiled_solve_momentum
         from ..ops.pallas_stream import SLAB_ROWS
-
-        from ..ops.pallas_momentum import pad_ff_slabs
 
         tiled_kw = {k: v for k, v in sweep_kw.items()
                     if k != "inner_scheme"}
         # >= 3 sweeps per kernel pass: per-pass traffic is ~constant, and
         # the warm momentum solve takes ~3 sweeps anyway. Same overshoot
-        # semantics as check_every (<= k-1 extra sweeps only sharpen)
-        tiled_kw["check_every"] = max(3, tiled_kw["check_every"])
+        # semantics as check_every (<= k-1 extra sweeps only sharpen);
+        # announced once per compile (no silent cadence changes)
+        if tiled_kw["check_every"] < 3:
+            print(f"[tiled-momentum] momentum_check_every "
+                  f"{tiled_kw['check_every']} -> 3 (multi-sweep kernel "
+                  "passes; inner counts become multiples of 3)")
+            tiled_kw["check_every"] = 3
         slab_r = st.mg_slab_rows or SLAB_ROWS
         # the frozen fluxes are shared by the u and v solves: slab-pad
         # them ONCE per step (each pad is a full HBM materialization)
@@ -152,10 +165,7 @@ def simple_step(
     # -- pressure ------------------------------------------------------
     ff = face_fluxes(u, v, dx, dy)
     if st.pressure_solver == "multigrid":
-        if st.use_pallas and (
-            st.mg_slab_rows > 0
-            or mesh.nx * mesh.ny > STREAM_MG_CELL_THRESHOLD
-        ):
+        if big_grid_pallas:
             # past the VMEM wall (or forced): the slab-streamed kernel -
             # fine level streamed through VMEM in wide-halo row slabs,
             # coarse hierarchy VMEM-resident (ops/pallas_stream.py)
