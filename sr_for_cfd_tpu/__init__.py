@@ -67,4 +67,16 @@ def __getattr__(name):
         from .workflow.hybrid import run_hybrid_experiment
 
         return run_hybrid_experiment
+    if name == "SpmdSolver":
+        # explicit-SPMD domain decomposition at reference grid sizes
+        # (full step under shard_map; sweeps / sharded-multigrid /
+        # per-shard-Pallas pressure)
+        from .parallel.spmd_step import SpmdSolver
+
+        return SpmdSolver
+    if name == "ShardedSolver":
+        # GSPMD decomposition (bit-identical; needs nx+2 % n_devices == 0)
+        from .parallel.domain import ShardedSolver
+
+        return ShardedSolver
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
