@@ -38,6 +38,12 @@ def time_case(n, mode):
         kw["pressure_solver"] = "multigrid"
         kw["use_pallas"] = True
         kw["mg_slab_rows"] = 256
+    elif mode == "mg_pallas":
+        # VMEM-RESIDENT whole-V-cycle kernel (ops/pallas_mg.py): the
+        # best-Pallas option between the fused-step wall (~900^2) and
+        # the streamed auto-threshold (~1160^2)
+        kw["pressure_solver"] = "multigrid"
+        kw["use_pallas"] = True
     elif mode == "fused_mg":
         kw["pressure_solver"] = "multigrid"
         kw["fused_step"] = True
@@ -84,6 +90,7 @@ def main():
     for n in grids:
         row = results.get(f"{n}x{n}", {})
         for m, key in (("multigrid", "multigrid_ms_per_step"),
+                       ("mg_pallas", "mg_pallas_ms_per_step"),
                        ("streamed_mg", "streamed_mg_ms_per_step"),
                        ("tiled", "tiled_sweeps_ms_per_step"),
                        ("fused", "fused_ms_per_step"),
