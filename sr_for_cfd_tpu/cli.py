@@ -46,6 +46,16 @@ def _solver_args(p: argparse.ArgumentParser, dt: float, scheme: str):
     p.add_argument("--plateau", type=int, default=0, metavar="N",
                    help="stop when residuals plateau for N chunks "
                         "(working-precision convergence for float32)")
+    p.add_argument("--use-pallas", action="store_true",
+                   help="Pallas inner-solve kernels without fusing the "
+                        "whole step: with --pressure-solver multigrid the "
+                        "right kernel auto-dispatches by grid size "
+                        "(VMEM-resident V-cycle, then slab-streamed "
+                        "V-cycle + tiled momentum past ~1160^2)")
+    p.add_argument("--spmd", type=int, default=1, metavar="N",
+                   help="domain-decompose the solve over N devices "
+                        "(interior rows sharded, ppermute halos - "
+                        "parallel.spmd_step.SpmdSolver; nx must divide N)")
     p.add_argument("--out", default=None, help="output base name / directory")
     p.add_argument("--quiet", action="store_true")
 
@@ -58,14 +68,52 @@ def _common_kw(args):
         pressure_solver=args.pressure_solver,
         plateau_patience=args.plateau,
         steps_per_kernel=args.steps_per_kernel,
+        use_pallas=args.use_pallas,
     )
 
 
+def _run_spmd(args, make_solver, out):
+    """Domain-decomposed solve over --spmd devices + the full artifact
+    suite (same outputs as the single-device path)."""
+    import time
+
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from .parallel.spmd_step import SpmdSolver
+
+    devs = jax.devices()
+    if len(devs) < args.spmd:
+        raise SystemExit(
+            f"--spmd {args.spmd} needs {args.spmd} devices; backend has "
+            f"{len(devs)} (set XLA_FLAGS="
+            "--xla_force_host_platform_device_count=N for a virtual mesh)"
+        )
+    kw = _common_kw(args)
+    kw["spmd_devices"] = args.spmd
+    ny = args.ny or args.nx
+    case = make_solver(Re=args.re, nx=args.nx, ny=ny, **kw).case
+    solver = SpmdSolver(case, Mesh(np.array(devs[:args.spmd]), ("x",)))
+    t0 = time.time()
+    local = solver.solve()
+    secs = time.time() - t0
+    solver.save_results(out)
+    print(f"Converged in {int(local.count)} iterations ({secs:.2f} "
+          f"seconds) on {args.spmd} devices")
+
+
 def cmd_cavity(args):
-    from .solver.cases import create_lid_driven_cavity
+    from .solver.cases import create_lid_driven_cavity, make_cavity_solver
 
     ny = args.ny or args.nx
     out = args.out or f"cavity_Re{int(args.re)}"
+    if args.spmd > 1:
+        from functools import partial
+
+        _run_spmd(args, partial(make_cavity_solver,
+                                double_lid=args.double_lid), out)
+        return
     solver, iters, secs = create_lid_driven_cavity(
         Re=args.re, nx=args.nx, ny=ny, output_name=out,
         double_lid=args.double_lid, verbose=not args.quiet,
@@ -75,10 +123,13 @@ def cmd_cavity(args):
 
 
 def cmd_bfs(args):
-    from .solver.cases import create_bfs_case
+    from .solver.cases import create_bfs_case, make_bfs_solver
 
     ny = args.ny or args.nx
     out = args.out or f"bfs_Re{int(args.re)}"
+    if args.spmd > 1:
+        _run_spmd(args, make_bfs_solver, out)
+        return
     solver, iters, secs = create_bfs_case(
         Re=args.re, nx=args.nx, ny=ny, output_name=out,
         verbose=not args.quiet, **_common_kw(args),

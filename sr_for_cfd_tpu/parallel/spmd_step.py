@@ -482,6 +482,9 @@ class SpmdSolver:
             _CHUNK_CACHE[key] = _CHUNK_CACHE.pop(key)
         self._chunk_fn = _CHUNK_CACHE[key]
         self.local = self._to_local(init_state(case))
+        from ..solver.simple import ResidualHistory
+
+        self.residual_history = ResidualHistory()
 
     def _to_local(self, state: SolverState) -> SpmdState:
         """Shard a global SolverState's interior bands over the mesh."""
@@ -514,6 +517,9 @@ class SpmdSolver:
         while True:
             self.run_chunk()
             chunks += 1
+            self.residual_history.append(
+                int(self.local.count), np.asarray(self.local.rms)
+            )
             done = (bool(self.local.converged) or bool(self.local.diverged)
                     or int(self.local.count)
                     >= self.case.settings.max_iterations)
@@ -539,3 +545,19 @@ class SpmdSolver:
                 full = apply_bfs_inlet(full, k, self.profile)
             out[name] = np.asarray(full)
         return out
+
+    # -- artifact-suite adapter (same surface io.results expects of the
+    # single-device CFDSolver, so the reference's .dat/.h5/plot outputs
+    # work for decomposed runs too) -----------------------------------
+    @property
+    def Var(self) -> np.ndarray:
+        f = self.global_fields()
+        return np.stack([f["u"], f["v"], f["p"]])
+
+    def interior_fields(self) -> Dict[str, np.ndarray]:
+        return {k: v[1:-1, 1:-1] for k, v in self.global_fields().items()}
+
+    def save_results(self, output_base_name: str) -> None:
+        from ..io.results import save_all_results
+
+        save_all_results(self, output_base_name)

@@ -56,3 +56,17 @@ def test_sweep_and_train_via_cli(tmp_path, capsys):
     assert os.path.exists(
         str(tmp_path / "m" / "vanilla_encoder10_to_20_clitest.msgpack")
     )
+
+
+def test_cavity_spmd_via_cli(tmp_path):
+    """--spmd N: domain-decomposed solve over the 8-device virtual mesh
+    with the full single-device artifact suite."""
+    out = str(tmp_path / "spmd" / "cavity")
+    main([
+        "cavity", "--re", "100", "--nx", "32", "--ny", "32",
+        "--dt", "2e-3", "--max-iterations", "120", "--chunk-size", "60",
+        "--spmd", "8", "--pressure-solver", "multigrid", "--out", out,
+    ])
+    for suffix in (".h5", "_centerline.dat", "_full.dat",
+                   "_centerlines.png", "_contours.png", "_convergence.png"):
+        assert os.path.exists(out + suffix), suffix
