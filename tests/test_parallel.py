@@ -378,3 +378,25 @@ def test_spmd_multigrid_two_sharded_levels():
         np.testing.assert_allclose(
             fields[k], np.asarray(getattr(ref.state, k)), atol=1e-8
         )
+
+
+def test_spmd_multigrid_bfs_matches_single_device():
+    """Sharded V-cycle on the BFS case: the rank-0 inlet ghost row flows
+    into the frozen-ghost RHS fold, under-relaxation active."""
+    from sr_for_cfd_tpu.parallel.spmd_step import SpmdSolver
+    from sr_for_cfd_tpu.solver.cases import make_bfs_solver
+
+    kw = dict(Re=200, nx=64, ny=32, dt=2e-3, scheme="UPWIND",
+              dtype="float64", chunk_size=50, max_iterations=100,
+              pressure_solver="multigrid")
+    ref = make_bfs_solver(**kw)
+    ref.solve("/tmp/unused_spmd_mgb", verbose=False, save_results=False)
+
+    solver = SpmdSolver(make_bfs_solver(**kw).case, make_mesh(8, "x"))
+    local = solver.solve()
+    assert int(local.count) == int(ref.state.count)
+    fields = solver.global_fields()
+    for k in ("u", "v", "p"):
+        np.testing.assert_allclose(
+            fields[k], np.asarray(getattr(ref.state, k)), atol=1e-8
+        )
