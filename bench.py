@@ -81,6 +81,12 @@ def _build(mode, n_iters):
         # in one kernel (ops/pallas_step.py + ops/pallas_mg.py)
         kw["pressure_solver"] = "multigrid"
         kw["fused_step"] = jax.default_backend() == "tpu"
+    elif mode == "fused_mg_k10":
+        # flagship + 10 outer steps per kernel launch (bit-exact;
+        # amortizes the ~1.3 us/step launch overhead, measured +5%)
+        kw["pressure_solver"] = "multigrid"
+        kw["fused_step"] = jax.default_backend() == "tpu"
+        kw["steps_per_kernel"] = 10 if kw["fused_step"] else 1
     else:  # parity: fused Pallas kernel, reference inner semantics
         kw["fused_step"] = jax.default_backend() == "tpu"
     return make_cavity_solver(**kw)
@@ -322,7 +328,8 @@ def main():
 
     on_tpu = jax.default_backend() == "tpu"
     only = os.environ.get("BENCH_MODE")
-    default_modes = (["multigrid", "mg_pallas", "fused_mg", "parity"]
+    default_modes = (["multigrid", "mg_pallas", "fused_mg",
+                      "fused_mg_k10", "parity"]
                      if on_tpu else ["multigrid", "parity"])
     modes = [only] if only else default_modes
 
@@ -424,7 +431,9 @@ def main():
 
     # headline = fastest multigrid-family mode (same solve-to-tolerance
     # algorithm; the fused kernel only removes launch latency)
-    mg_modes = [perf[m] for m in ("fused_mg", "mg_pallas", "multigrid")
+    mg_modes = [perf[m]
+                for m in ("fused_mg_k10", "fused_mg", "mg_pallas",
+                          "multigrid")
                 if m in perf]
     headline = (max(mg_modes, key=lambda d: d["iters_per_sec"])
                 if mg_modes else perf[modes[0]])
