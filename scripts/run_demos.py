@@ -175,9 +175,12 @@ def main():
     # recordings show the warm start reaching steady state in ~5k fine
     # iterations yet "running" 32k-72k for exactly this reason.
     # fused_step + multigrid = the flagship whole-step kernel with the
-    # in-kernel V-cycle (bench fused_mg mode, 0.25 ms/step at 400^2)
+    # in-kernel V-cycle (bench fused_mg mode, ~0.26 ms/step at 400^2);
+    # 10 outer steps per launch shaves the ~13 us/step launch overhead
+    # (bit-exact; bench fused_mg_k10, +5%) on BOTH fine runs - detector
+    # cadences (>= 2000) are far above K so exits are unaffected
     fine = dict(chunk_size=10000, pressure_solver="multigrid",
-                fused_step=True, plateau_patience=5)
+                fused_step=True, plateau_patience=5, steps_per_kernel=10)
     results = {}
     results["cavity_reference_config"] = run(
         "cavity_reference_config",

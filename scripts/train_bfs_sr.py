@@ -22,6 +22,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
+# coarse input resolution: 10 (the reference's BFS pairing) by default;
+# LR_DIM=20 trains the 20->400 pair (4x richer SR input - the BFS ML
+# fine phase is the whole-demo bottleneck and warm-start quality is
+# what it pays for)
+LR_DIM = int(os.environ.get("LR_DIM", 10))
+
 # r3 (VERDICT r2 #4): widened from 7 to 13 train Reynolds numbers - the
 # 21-sample r2 model's held-out U MAE (0.0102) was ~4x the cavity
 # family's and made the BFS ML fine phase the whole-demo bottleneck
@@ -69,7 +75,7 @@ def main():
         # The demo's coarse phase mirrors these exact settings.
         budgets = COARSE_BUDGETS if re != EVAL_RE else [30000]
         coarses = [
-            solve_bfs(re, 10, budget, chunk_size=budget,
+            solve_bfs(re, LR_DIM, budget, chunk_size=budget,
                       pressure_sor=1.5, plateau_patience=5,
                       fused_step=True, inner_max_iter=64,
                       steps_per_kernel=500)
@@ -103,7 +109,7 @@ def main():
     stats = {}
     for ci, c in enumerate(comps):
         sel = train_mask & np.asarray([k[2] == c for k in keys])
-        for dim, arr in ((10, x_lr), (400, x_hr)):
+        for dim, arr in ((LR_DIM, x_lr), (400, x_hr)):
             vals = arr[sel]
             stats[f"mean{dim}_{c}"] = float(vals.mean())
             stats[f"std{dim}_{c}"] = float(max(vals.std(), 1e-8))
@@ -114,7 +120,7 @@ def main():
             out[i] = (arr[i] - stats[f"mean{dim}_{c}"]) / stats[f"std{dim}_{c}"]
         return out
 
-    z_lr = standardized(x_lr, 10)
+    z_lr = standardized(x_lr, LR_DIM)
     z_hr = standardized(x_hr, 400)
 
     from sr_for_cfd_tpu.workflow.training import (
@@ -126,14 +132,14 @@ def main():
                           dup[train_mask])
     result = train_sr_autoencoder(
         jnp.asarray(z_lr[train_idx]), jnp.asarray(z_hr[train_idx]),
-        lr_dim=10, hr_dim=400, epochs=EPOCHS, batch_size=8, verbose=True,
+        lr_dim=LR_DIM, hr_dim=400, epochs=EPOCHS, batch_size=8, verbose=True,
     )
-    paths = export_models(result, stats, 10, 400, SUFFIX, out_dir=OUT)
+    paths = export_models(result, stats, LR_DIM, 400, SUFFIX, out_dir=OUT)
 
     # held-out evaluation at Re=400 (reference's MAE / NMAE% metrics)
     from sr_for_cfd_tpu.sr.inference import SRModel
 
-    model = SRModel.create(10, 400, params=result.params)
+    model = SRModel.create(LR_DIM, 400, params=result.params)
     report = {}
     maes, nmaes = [], []
     for i, (re, bi, c) in enumerate(keys):
@@ -153,7 +159,8 @@ def main():
     report["train_samples"] = int(train_mask.sum())
     report["final_loss"] = float(result.loss_history[-1])
     print("BFS_SR_EVAL " + json.dumps(report), flush=True)
-    with open(os.path.join(OUT, f"bfs_sr_eval_{SUFFIX}.json"), "w") as f:
+    tag = f"_{LR_DIM}to400" if LR_DIM != 10 else ""
+    with open(os.path.join(OUT, f"bfs_sr_eval_{SUFFIX}{tag}.json"), "w") as f:
         json.dump(report, f, indent=2)
     print("artifacts:", json.dumps({k: v for k, v in paths.items()}),
           flush=True)
