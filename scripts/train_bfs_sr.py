@@ -104,8 +104,6 @@ def main():
 
     # component-wise standardization on the train split (reference
     # convention: per component x resolution stats)
-    from sr_for_cfd_tpu.models import standardize as stz
-
     stats = {}
     for ci, c in enumerate(comps):
         sel = train_mask & np.asarray([k[2] == c for k in keys])
@@ -124,7 +122,7 @@ def main():
     z_hr = standardized(x_hr, 400)
 
     from sr_for_cfd_tpu.workflow.training import (
-        TrainResult, export_models, train_sr_autoencoder)
+        export_models, train_sr_autoencoder)
 
     # U-duplication = loss weighting (see U_DUP above)
     dup = np.asarray([U_DUP if c == "u" else 1 for _, _, c in keys])

@@ -49,6 +49,7 @@ from ..ops.stencil import (
     FaceFluxes,
     Shifted,
     diffusion,
+    face_fluxes,
     quick_convection,
     upwind_convection,
 )
@@ -291,10 +292,8 @@ def _make_step(case: CaseConfig, profile: Optional[BFSInletProfile],
         # -- face fluxes (fresh ghosts: post-BC u, v) ---------------------
         glow_u, ghigh_u = ghosts(u, 0)
         glow_v, ghigh_v = ghosts(v, 1)
-        from ..ops.stencil import face_fluxes as _ff
-
-        ff = _ff(assemble(u, 1, glow_u, ghigh_u),
-                 assemble(v, 1, glow_v, ghigh_v), dx, dy)
+        ff = face_fluxes(assemble(u, 1, glow_u, ghigh_u),
+                         assemble(v, 1, glow_v, ghigh_v), dx, dy)
 
         # -- pressure (frozen ghosts at entry) ----------------------------
         glow_p, ghigh_p = ghosts(s.p, 2)
