@@ -560,3 +560,35 @@ class SpmdSolver:
         from ..io.results import save_all_results
 
         save_all_results(self, output_base_name)
+
+    # -- checkpoint / resume (same .npz format as the single-device
+    # solver, io/checkpoint.py - snapshots are interchangeable) --------
+    def checkpoint(self, path: str) -> None:
+        from types import SimpleNamespace
+
+        from ..io.checkpoint import save_solver_state
+
+        f = self.global_fields()
+        save_solver_state(path, SimpleNamespace(
+            u=f["u"], v=f["v"], p=f["p"], count=int(self.local.count)))
+
+    def warm_start(self, fields: Dict[str, np.ndarray],
+                   count: int = 0) -> None:
+        """Re-seed from (ny, nx) interior fields (the same contract as
+        `CFDSolver.warm_start`): ghosts, olds and face fluxes re-derived,
+        so a resumed trajectory matches the single-device solver resumed
+        from the same snapshot."""
+        from ..solver.state import warm_start_state
+
+        st = warm_start_state(self.case, fields)
+        if count:
+            st = st._replace(count=jnp.asarray(count, jnp.int32))
+        self.local = self._to_local(st)
+
+    def resume_from(self, path: str) -> None:
+        from ..io.checkpoint import _npz_path, load_solver_fields
+
+        fields = load_solver_fields(path)
+        with np.load(_npz_path(path)) as data:
+            count = int(data["count"])
+        self.warm_start(fields, count=count)

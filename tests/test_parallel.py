@@ -400,3 +400,38 @@ def test_spmd_multigrid_bfs_matches_single_device():
         np.testing.assert_allclose(
             fields[k], np.asarray(getattr(ref.state, k)), atol=1e-8
         )
+
+
+def test_spmd_checkpoint_resume_matches_single_device(tmp_path):
+    """Checkpoint mid-solve on the decomposed solver, resume BOTH a fresh
+    SpmdSolver and a single-device solver from the same .npz: identical
+    trajectories (f64) - snapshots are interchangeable across the two
+    execution models."""
+    from sr_for_cfd_tpu.parallel.spmd_step import SpmdSolver
+    from sr_for_cfd_tpu.solver.cases import make_cavity_solver
+
+    kw = dict(Re=100, nx=32, ny=32, dt=2e-3, scheme="UPWIND",
+              dtype="float64", chunk_size=50, max_iterations=50)
+    a = SpmdSolver(make_cavity_solver(**kw).case, make_mesh(8, "x"))
+    a.solve()
+    snap = str(tmp_path / "snap")
+    a.checkpoint(snap)
+
+    kw2 = dict(kw, max_iterations=100)
+    b = SpmdSolver(make_cavity_solver(**kw2).case, make_mesh(8, "x"))
+    b.resume_from(snap)
+    assert int(b.local.count) == 50
+    b.solve()
+
+    # single-device warm start restarts count at 0, so give it the same
+    # REMAINING budget (50) the resumed solver has
+    ref = make_cavity_solver(**kw)
+    from sr_for_cfd_tpu.io.checkpoint import load_solver_fields
+
+    ref.warm_start(load_solver_fields(snap))
+    ref.solve("/tmp/unused_ckpt", verbose=False, save_results=False)
+
+    fb = b.global_fields()
+    for k in ("u", "v", "p"):
+        np.testing.assert_array_equal(
+            fb[k], np.asarray(getattr(ref.state, k)))
