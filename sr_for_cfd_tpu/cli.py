@@ -140,6 +140,25 @@ def cmd_bfs(args):
 def cmd_hybrid(args):
     from .workflow.hybrid import run_hybrid_experiment
 
+    if args.spmd > 1:
+        raise SystemExit("--spmd applies to the cavity/bfs solves; the "
+                         "hybrid workflow runs single-device")
+    kw = dict(
+        dt=args.dt, scheme=args.scheme, dtype=args.dtype,
+        fused_step=args.fused, pressure_sor=args.sor,
+        pressure_solver=args.pressure_solver,
+        steps_per_kernel=args.steps_per_kernel,
+        use_pallas=args.use_pallas,
+    )
+    # only forward the shared-solver defaults when the user changed them:
+    # run_hybrid_experiment's coarse phase sets its own (plateau ON,
+    # whole-budget single-dispatch chunk) and unconditional forwarding
+    # defeated those setdefaults - the default CLI coarse phase then ran
+    # its full cap in ~1000 host-synced dispatches
+    if args.chunk_size != 100:
+        kw["chunk_size"] = args.chunk_size
+    if args.plateau:
+        kw["plateau_patience"] = args.plateau
     results = run_hybrid_experiment(
         Re=args.re, lr_dim=args.lr_dim, hr_dim=args.hr_dim,
         case=args.case,
@@ -151,10 +170,7 @@ def cmd_hybrid(args):
         use_adaptive_normalization=args.adaptive_norm,
         blend_factor=args.blend_factor,
         output_dir=args.out, verbose=not args.quiet,
-        dt=args.dt, scheme=args.scheme, dtype=args.dtype,
-        chunk_size=args.chunk_size, fused_step=args.fused,
-        pressure_sor=args.sor, pressure_solver=args.pressure_solver,
-        plateau_patience=args.plateau,
+        **kw,
     )
     results.pop("hr_fields")
     print(json.dumps(results, indent=2, default=str))

@@ -554,7 +554,10 @@ class SpmdSolver:
         return np.stack([f["u"], f["v"], f["p"]])
 
     def interior_fields(self) -> Dict[str, np.ndarray]:
-        return {k: v[1:-1, 1:-1] for k, v in self.global_fields().items()}
+        # (ny, nx) transposed, matching SolverState.interior_fields - the
+        # contract of the HDF5 writer, SR inference, and warm_start
+        return {k: v[1:-1, 1:-1].T.copy()
+                for k, v in self.global_fields().items()}
 
     def save_results(self, output_base_name: str) -> None:
         from ..io.results import save_all_results

@@ -617,10 +617,27 @@ class CFDSolver:
     def interior_fields(self) -> Dict[str, np.ndarray]:
         return self.state.interior_fields()
 
-    def warm_start(self, fields: Dict[str, np.ndarray]) -> None:
+    def warm_start(self, fields: Dict[str, np.ndarray],
+                   count: int = 0) -> None:
         """Initialize from (ny, nx) interior fields (the reference's ML
-        injection path, `PyCFD_ML_accelerated.py:936-948`)."""
+        injection path, `PyCFD_ML_accelerated.py:936-948`). `count`
+        restores the iteration counter when resuming a snapshot (so the
+        max_iterations budget and artifact iteration labels carry on
+        instead of restarting at 0)."""
         self.state = warm_start_state(self.case, fields)
+        if count:
+            self.state = self.state._replace(
+                count=jnp.asarray(count, jnp.int32))
+
+    def resume_from(self, path: str) -> None:
+        """Resume from an `io.checkpoint` .npz snapshot (fields AND
+        iteration count; same format SpmdSolver.checkpoint writes)."""
+        from ..io.checkpoint import _npz_path, load_solver_fields
+
+        fields = load_solver_fields(path)
+        with np.load(_npz_path(path)) as data:
+            count = int(data["count"])
+        self.warm_start(fields, count=count)
 
     # ---- main loop ------------------------------------------------------
     def solve(

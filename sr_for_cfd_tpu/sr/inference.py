@@ -62,7 +62,13 @@ def _file_key(kind: str, *paths: str):
 @dataclasses.dataclass
 class SRModel:
     """A bundled apply-function + params for LR->HR prediction of a single
-    (N, lr, lr, 1) batch -> (N, hr, hr, 1)."""
+    (N, lr, lr, 1) batch -> (N, hr, hr, 1).
+
+    Treat `params` as IMMUTABLE: the jitted SR pipeline cache keys on
+    `cache_key` and bakes the params in as compile-time constants, so an
+    in-place `model.params = new` would silently serve stale weights.
+    Swap weights with `dataclasses.replace(model, params=new)` (fresh
+    cache key) instead."""
 
     lr_dim: int
     hr_dim: int

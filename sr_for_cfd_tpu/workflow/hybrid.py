@@ -211,8 +211,6 @@ def run_ml_accelerated_fine_simulation(
     names = default_model_files(lr_dim, hr_dim, model_suffix, model_dir)
     if stats_file is None:
         stats_file = names["stats_file"]
-    if not os.path.exists(stats_file):
-        raise FileNotFoundError(f"Standardization stats file not found: {stats_file}")
 
     if model is None:
         # the reference's conventional artifact names are real defaults:
@@ -235,10 +233,30 @@ def run_ml_accelerated_fine_simulation(
                 print("  model checkpoint(s) not found -> bicubic fallback")
             model = BicubicSR(lr_dim, hr_dim)
 
+    stats = None
+    if not os.path.exists(stats_file):
+        if isinstance(model, BicubicSR):
+            # the fallback is scale-free: identity stats keep the hybrid
+            # runnable before any AE is trained (the reference could not
+            # run at all without its stats artifact)
+            if verbose:
+                print(f"  stats file not found ({stats_file}) -> identity "
+                      "standardization (bicubic fallback is scale-free)")
+            stats = {f"{k}{d}_{c}": float(k == "std")
+                     for k in ("mean", "std") for d in (lr_dim, hr_dim)
+                     for c in ("u", "v", "p")}
+            stats_file = None
+        else:
+            # a TRAINED model without its training stats would silently
+            # mis-normalize - keep the reference's hard failure
+            raise FileNotFoundError(
+                f"Standardization stats file not found: {stats_file}")
+
     hr_fields = ml_super_resolution(
         coarse_fields,
         lr_dim,
         hr_dim,
+        stats=stats,
         stats_file=stats_file,
         model=model,
         use_aspect_ratio_correction=use_aspect_ratio_correction,

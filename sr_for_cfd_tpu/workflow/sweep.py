@@ -152,6 +152,10 @@ def batched_cavity_solve(
     u = np.asarray(states.u)
     v = np.asarray(states.v)
     p = np.asarray(states.p)
+    diverged = np.asarray(states.diverged)
+    # diverged cases hold frozen NaN fields: DROP them (announced) like
+    # the reference's per-case try/except - one bad Re must not poison
+    # the training HDF5 (NaN stats -> NaN loss downstream)
     fields = {
         float(re_val): {
             "u": u[i, 1:-1, 1:-1].T.copy(),
@@ -159,7 +163,11 @@ def batched_cavity_solve(
             "p": p[i, 1:-1, 1:-1].T.copy(),
         }
         for i, re_val in enumerate(res)
+        if not diverged[i]
     }
+    if len(fields) < len(res):
+        dropped = [float(r) for i, r in enumerate(res) if diverged[i]]
+        print(f"  sweep {nx}x{ny}: DROPPED diverged cases Re={dropped}")
     return fields, np.asarray(states.count)
 
 

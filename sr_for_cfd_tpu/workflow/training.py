@@ -197,9 +197,11 @@ def train_sr_autoencoder(
         rep = replicated(mesh)
         params = jax.device_put(params, rep)
         opt_state = jax.device_put(opt_state, rep)
-        # round batch up to a multiple of the mesh size
+        # round batch UP to a multiple of the mesh size (floor division
+        # silently shrank the requested global batch, e.g. 12 -> 8 on an
+        # 8-device mesh)
         n_dev = mesh.devices.size
-        batch_size = max(batch_size, n_dev) // n_dev * n_dev
+        batch_size = -(-batch_size // n_dev) * n_dev
 
     n = x_lr.shape[0]
     steps = max(1, n // batch_size)
@@ -305,12 +307,14 @@ def evaluate_for_re(
         if verbose:
             print(f"  Re={re} {comp.upper()}: MAE={mae:.4f} NMAE={nmae:.2f}%")
         if plot_dir:
+            from ..utils.naming import fmt_re
             from ..viz.plots import plot_superres_comparison
 
+            os.makedirs(plot_dir, exist_ok=True)
             plot_superres_comparison(
                 lr_truth, truth, pred, re, comp,
                 (lr_dim, lr_dim), (hr_dim, hr_dim), mae, nmae,
-                filename=f"{plot_dir}/sr_Re{re}_{comp}.png",
+                filename=f"{plot_dir}/sr_Re{fmt_re(re)}_{comp}.png",
             )
     if results:
         avg_mae = float(np.mean([r["mae"] for r in results]))
