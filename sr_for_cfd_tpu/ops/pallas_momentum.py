@@ -275,6 +275,9 @@ def tiled_solve_momentum(
     sweep_call = pl.pallas_call(
         kernel,
         grid=(n_blocks,),
+        # donate x's buffer to the output (write trails the lagged read;
+        # see pallas_tiled)
+        input_output_aliases={0: 0},
         in_specs=(
             [pl.BlockSpec((R, W), load_idx)] * 6
             + [pl.BlockSpec((1, 1), lambda i: (0, 0))]

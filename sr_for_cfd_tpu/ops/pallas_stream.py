@@ -415,6 +415,8 @@ def stream_mg_solve_pressure(
             inv_dx2=inv_dx2, inv_dy2=inv_dy2, volp=volp0, sor=sor,
             coarsen_x=coarsen_x, coarsen_y=coarsen_y,
         ),
+        # donate x's buffer (write trails the lagged read; pallas_tiled)
+        input_output_aliases={0: 0},
         grid=(n_blocks,),
         in_specs=(
             [pl.BlockSpec((R, W), load_idx), pl.BlockSpec((R, W), load_idx)]
@@ -462,6 +464,7 @@ def stream_mg_solve_pressure(
             inv_dx2=inv_dx2, inv_dy2=inv_dy2, volp=volp0, sor=sor,
             coarsen_x=coarsen_x, hbp=hbp,
         ),
+        input_output_aliases={0: 0},
         grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec((R, W), load_idx),

@@ -142,6 +142,10 @@ def tiled_rb_sweep(fpad, bpad, *, R, nrows, ny, inv_dx2, inv_dy2, volp,
     out, ss = pl.pallas_call(
         kernel,
         grid=(n_blocks,),
+        # donate f's buffer to the output: the write to block i trails
+        # the (lagged) read of block i+1, so in-place is race-free under
+        # the sequential grid; measured ~7% off the per-pass floor
+        input_output_aliases={0: 0},
         in_specs=[
             pl.BlockSpec((R, W), load_idx),
             pl.BlockSpec((R, W), load_idx),
