@@ -233,6 +233,11 @@ def tiled_solve_momentum(
     any grid size: same residual, update order, check cadence, and stall
     policy, one HBM pass per sweep. With `return_count`, returns
     (phi, sweeps_run)."""
+    if phi.dtype != jnp.float32:
+        # raise like the sibling kernels (pallas_stream/pallas_mg) rather
+        # than silently downcasting: an f64 validation case would get
+        # f32-rounded residuals re-labeled as f64
+        raise ValueError("tiled_solve_momentum is float32-only")
     nrows, W = phi.shape
     nx, ny = nrows - 2, W - 2
     R = resolve_slab_rows(slab_rows, W)
@@ -251,7 +256,7 @@ def tiled_solve_momentum(
     ap_d = -volp * (2.0 * inv_dx2 + 2.0 * inv_dy2)
     n_cells = nx * ny
 
-    xpad = _pad_slabs(phi.astype(jnp.float32), R)
+    xpad = _pad_slabs(phi, R)
     opad = _pad_interior(phi_old_int, R, nrows, W)
     if isinstance(ff, tuple) and not isinstance(ff, FaceFluxes):
         fpads = list(ff)  # pre-padded by pad_ff_slabs (shared u/v)
@@ -321,7 +326,7 @@ def tiled_solve_momentum(
     xpad, _, _, _, _, it = jax.lax.while_loop(
         cond, body, (xpad, big, big, zero, zero, zero)
     )
-    out = xpad[R:R + nrows].astype(phi.dtype)
+    out = xpad[R:R + nrows]
     if return_count:
         return out, it
     return out

@@ -56,14 +56,12 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .multigrid import MG_MAX_CYCLES, MG_SMOOTHER_SOR, ghost_fold
 from .pallas_mg import (
     MGPlan,
-    _resize_matrix,
     make_level_ops,
     mxu_dot_f32,
     plan_hierarchy,
@@ -72,8 +70,9 @@ from .pallas_tiled import _pad_slabs, _vmem_params
 from .stencil import FaceFluxes
 from .sweeps import stall_update, stalled
 
-# default slab height (rows per grid step); must be even and a multiple
-# of 8 (f32 sublane tile)
+# default slab height (rows per grid step); must be a multiple of 16 (the
+# restrict/prolong slice offsets (i-1)*R/2 must stay sublane-aligned, see
+# stream_mg_solve_pressure)
 SLAB_ROWS = 256
 
 

@@ -37,8 +37,7 @@ decomposition at grids beyond single-chip capacity).
 
 from __future__ import annotations
 
-from functools import partial
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -47,7 +46,6 @@ import numpy as np
 from ..ops.multigrid import (
     MG_MAX_CYCLES,
     MG_SMOOTHER_SOR,
-    _laplacian,
     _levels,
     _red_mask,
     _v_cycle,
@@ -278,12 +276,15 @@ def make_spmd_mg_solve(plan: SpmdMGPlan, axis: str, n_dev: int, *,
 
         if plan.n_shard == 0:
             # degenerate decomposition (too few rows per rank): run the
-            # whole hierarchy replicated, slice own rows at exit
+            # whole hierarchy replicated, slice own rows at exit. b is
+            # frozen for the whole solve - gather it ONCE, outside the
+            # cycle loop (XLA does not reliably hoist collectives out of
+            # while bodies)
             rows = nx0 // n_dev
+            bf = jax.lax.all_gather(b_band, axis, tiled=True)
 
             def cycle(x):
                 full = jax.lax.all_gather(x, axis, tiled=True)
-                bf = jax.lax.all_gather(b_band, axis, tiled=True)
                 out = v_replicated(full, bf)
                 return jax.lax.dynamic_slice_in_dim(
                     out, rank_of() * rows, rows, axis=0)

@@ -51,6 +51,7 @@ from ..ops.stencil import (
     diffusion,
     face_fluxes,
     quick_convection,
+    shifts1,
     upwind_convection,
 )
 from ..ops.sweeps import optimal_sor, stall_update, stalled
@@ -75,6 +76,18 @@ class SpmdState(NamedTuple):
     count: jnp.ndarray     # int32
     converged: jnp.ndarray
     diverged: jnp.ndarray
+    # ---- convergence-detector carries (mirroring SolverState: they live
+    # in the state so detection spans chunk boundaries at any chunk size).
+    # held/plat_* are replicated scalars (rms is already global); the
+    # Cauchy refs are local (rows, ny+2) bands like u/v.
+    held: jnp.ndarray        # int32: consecutive iterations criteria held
+    plat_best: jnp.ndarray   # (3,) best plateau-window mean rms seen
+    plat_acc: jnp.ndarray    # (3,) current-window rms accumulator
+    plat_n: jnp.ndarray      # int32: iterations in the current window
+    plat_stale: jnp.ndarray  # int32: consecutive non-improving windows
+    cau_u: jnp.ndarray       # (rows, ny+2) band at last Cauchy snapshot
+    cau_v: jnp.ndarray
+    cau_count: jnp.ndarray   # int32: iteration of that snapshot
 
 
 def _specs(axis: str) -> SpmdState:
@@ -84,6 +97,8 @@ def _specs(axis: str) -> SpmdState:
         u=row, v=row, p=row, u_old=row, v_old=row, p_old=row,
         ff=FaceFluxes(e=row, n=row, w=row, s=row),
         rms=rep, count=rep, converged=rep, diverged=rep,
+        held=rep, plat_best=rep, plat_acc=rep, plat_n=rep, plat_stale=rep,
+        cau_u=row, cau_v=row, cau_count=rep,
     )
 
 
@@ -168,10 +183,6 @@ def _make_step(case: CaseConfig, profile: Optional[BFSInletProfile],
         bot = jnp.where(rank == n_dev - 1, gh, from_dn)
         return jnp.concatenate([top, x_own, bot], axis=0)
 
-    def shifts1_of(ext):
-        return (ext[1:-1, 1:-1], ext[2:, 1:-1], ext[:-2, 1:-1],
-                ext[1:-1, 2:], ext[1:-1, :-2])
-
     def shifts2_of(ext2):
         mid = ext2[2:-2]
         cp = jnp.pad(mid, ((0, 0), (1, 1)), mode="edge")
@@ -198,7 +209,7 @@ def _make_step(case: CaseConfig, profile: Optional[BFSInletProfile],
             fc, ap_c = quick_convection(None, ff, volp, shifts=s2)
             sh1 = (s2.c, s2.e, s2.w, s2.n, s2.s)
         else:
-            sh1 = shifts1_of(assemble(x_own, 1, glow, ghigh))
+            sh1 = shifts1(assemble(x_own, 1, glow, ghigh))
             fc, ap_c = upwind_convection(None, ff, volp, shifts=sh1)
         fd, ap_d = diffusion(None, dx, dy, volp, shifts=sh1)
         c = sh1[0]
@@ -207,7 +218,7 @@ def _make_step(case: CaseConfig, profile: Optional[BFSInletProfile],
         return r, ap
 
     def pressure_residual(p_own, glow, ghigh, div_sum):
-        sh1 = shifts1_of(assemble(p_own, 1, glow, ghigh))
+        sh1 = shifts1(assemble(p_own, 1, glow, ghigh))
         fd, ap_d = diffusion(None, dx, dy, volp, shifts=sh1)
         r = rho / dt * div_sum - fd
         return r, jnp.full_like(r, ap_d)
@@ -351,7 +362,7 @@ def _make_step(case: CaseConfig, profile: Optional[BFSInletProfile],
 
         # -- projection + residuals (fresh p ghosts) ----------------------
         glow_p, ghigh_p = ghosts(p, 2)
-        pc, pe, pw, pn, ps = shifts1_of(assemble(p, 1, glow_p, ghigh_p))
+        pc, pe, pw, pn, ps = shifts1(assemble(p, 1, glow_p, ghigh_p))
         u = u.at[:, 1:-1].add(-(dt / rho) * (pe - pw) / (2.0 * dx))
         v = v.at[:, 1:-1].add(-(dt / rho) * (pn - ps) / (2.0 * dy))
 
@@ -379,12 +390,78 @@ def _make_step(case: CaseConfig, profile: Optional[BFSInletProfile],
             [st.criterion("u"), st.criterion("v"), st.criterion("p")],
             dtype=rms.dtype,
         )
+        count = s.count + 1
+        crossed = jnp.all(rms <= crit)
+
+        # -- detectors (mirroring solver.simple.run_chunk: sustained hold,
+        # field-Cauchy steady state, device-side plateau - all on GLOBAL
+        # quantities so every rank stays in lockstep) ---------------------
+        if st.convergence_hold > 1:
+            held = jnp.where(crossed, s.held + 1, 0)
+            converged = held >= st.convergence_hold
+        else:
+            held = s.held
+            converged = crossed
+
+        cau_u, cau_v, cau_count = s.cau_u, s.cau_v, s.cau_count
+        if st.cauchy_tol > 0.0:
+            at_check = (count % st.cauchy_check_every) == 0
+            full = (count - s.cau_count) >= st.cauchy_check_every
+            do = jnp.logical_and(at_check, full)
+            # the drift branch's outputs derive from sharded bands (vma
+            # 'varying' over the mesh axis); the zero branch must match
+            # (spmd_mg.vary has the same note)
+            zero = jnp.asarray(0.0, rms.dtype)
+            if axis not in getattr(jax.typeof(zero), "vma", (axis,)):
+                zero = jax.lax.pcast(zero, (axis,), to="varying")
+
+            def drift():
+                # local abs-max only (the expensive band reduction); the
+                # scalar pmax runs unconditionally below so no collective
+                # sits inside the cond (single-device: max over the padded
+                # field incl. derived ghosts - drift there mirrors the
+                # interior, so the band max is the same criterion)
+                return (jnp.max(jnp.abs(u - s.cau_u)),
+                        jnp.max(jnp.abs(v - s.cau_v)))
+
+            du_l, dv_l = jax.lax.cond(do, drift, lambda: (zero, zero))
+            du = jax.lax.pmax(du_l, axis)
+            dv = jax.lax.pmax(dv_l, axis)
+            steady = do & (du < st.cauchy_tol) & (dv < st.cauchy_tol)
+            converged = jnp.logical_or(converged, steady)
+            cau_u = jnp.where(at_check, u, s.cau_u)
+            cau_v = jnp.where(at_check, v, s.cau_v)
+            cau_count = jnp.where(at_check, count, s.cau_count)
+
+        plat_best, plat_acc = s.plat_best, s.plat_acc
+        plat_n, plat_stale = s.plat_n, s.plat_stale
+        if st.plateau_patience > 0:
+            acc = s.plat_acc + rms
+            wn = s.plat_n + 1
+            at_check = (count % st.plateau_check_every) == 0
+            mean = acc / jnp.maximum(wn, 1).astype(acc.dtype)
+            improved = jnp.any(
+                mean < (1.0 - st.plateau_rtol) * s.plat_best)
+            plat_stale = jnp.where(
+                at_check, jnp.where(improved, 0, s.plat_stale + 1),
+                s.plat_stale,
+            )
+            plat_best = jnp.where(
+                at_check, jnp.minimum(s.plat_best, mean), s.plat_best)
+            plat_acc = jnp.where(at_check, jnp.zeros_like(acc), acc)
+            plat_n = jnp.where(at_check, 0, wn)
+            converged = jnp.logical_or(
+                converged, plat_stale >= st.plateau_patience)
+
         return SpmdState(
             u=u, v=v, p=p,
             u_old=u[:, 1:-1], v_old=v[:, 1:-1], p_old=p[:, 1:-1],
-            ff=ff, rms=rms, count=s.count + 1,
-            converged=jnp.all(rms <= crit),
+            ff=ff, rms=rms, count=count,
+            converged=converged,
             diverged=jnp.logical_not(jnp.all(jnp.isfinite(rms))),
+            held=held, plat_best=plat_best, plat_acc=plat_acc,
+            plat_n=plat_n, plat_stale=plat_stale,
+            cau_u=cau_u, cau_v=cau_v, cau_count=cau_count,
         )
 
     return step
@@ -461,6 +538,25 @@ class SpmdSolver:
                              "single-device whole-step kernel doesn't "
                              "apply (use_pallas=True runs the per-shard "
                              "Pallas pressure sweep instead)")
+        if (case.settings.use_pallas
+                and case.settings.pressure_solver == "multigrid"):
+            # refuse rather than silently run the jnp sharded V-cycle:
+            # on the single-device path this combination selects the
+            # Pallas MG kernel, and a ported config would otherwise get
+            # a different execution path with no warning
+            raise ValueError(
+                "SpmdSolver has no Pallas sharded-multigrid smoother: "
+                "use pressure_solver='multigrid' WITHOUT use_pallas "
+                "(jnp sharded V-cycles, parallel/spmd_mg.py) or "
+                "pressure_solver='sweeps' with use_pallas=True (per-"
+                "shard Pallas sweep kernel, parallel/spmd_pallas.py)"
+            )
+        if case.settings.rre_every > 0:
+            raise ValueError(
+                "rre_every (reduced-rank extrapolation) is not "
+                "implemented on the decomposed path; disable it or use "
+                "the single-device solver"
+            )
         self.case = case
         self.mesh = mesh
         self.axis = axis
@@ -505,6 +601,13 @@ class SpmdSolver:
             count=jax.device_put(state.count, rep),
             converged=jax.device_put(state.converged, rep),
             diverged=jax.device_put(state.diverged, rep),
+            held=jax.device_put(state.held, rep),
+            plat_best=jax.device_put(state.plat_best, rep),
+            plat_acc=jax.device_put(state.plat_acc, rep),
+            plat_n=jax.device_put(state.plat_n, rep),
+            plat_stale=jax.device_put(state.plat_stale, rep),
+            cau_u=band(state.cau_u_ref), cau_v=band(state.cau_v_ref),
+            cau_count=jax.device_put(state.cau_count, rep),
         )
 
     def run_chunk(self) -> SpmdState:
@@ -512,18 +615,31 @@ class SpmdSolver:
         return self.local
 
     def solve(self, max_chunks: Optional[int] = None) -> SpmdState:
+        st = self.case.settings
         chunks = 0
+        rms_window: list = []
         while True:
             self.run_chunk()
             chunks += 1
-            self.residual_history.append(
-                int(self.local.count), np.asarray(self.local.rms)
-            )
+            rms = np.asarray(self.local.rms)
+            self.residual_history.append(int(self.local.count), rms)
             done = (bool(self.local.converged) or bool(self.local.diverged)
-                    or int(self.local.count)
-                    >= self.case.settings.max_iterations)
+                    or int(self.local.count) >= st.max_iterations)
             if done or (max_chunks is not None and chunks >= max_chunks):
                 return self.local
+            # host-side plateau window over chunk-boundary samples,
+            # mirroring CFDSolver.solve (the device-side detector inside
+            # the chunk is the primary; this catches plateaus whose
+            # window exceeds plateau_check_every resolution)
+            if st.plateau_patience > 0:
+                rms_window.append(rms)
+                n = st.plateau_patience
+                if len(rms_window) >= 2 * n:
+                    recent = np.median(rms_window[-n:], axis=0)
+                    prior = np.median(rms_window[-2 * n:-n], axis=0)
+                    if np.all(recent >= (1.0 - st.plateau_rtol) * prior):
+                        return self.local
+                    rms_window = rms_window[-2 * n:]
 
     def global_fields(self) -> Dict[str, np.ndarray]:
         """Gather {u, v, p} as full padded (nx+2, ny+2) arrays with the

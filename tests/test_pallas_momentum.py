@@ -69,3 +69,13 @@ def test_solver_big_grid_pallas_path_matches_jnp():
         d = float(jnp.max(jnp.abs(getattr(a.state, k)
                                   - getattr(b.state, k))))
         assert d < 5e-5, (k, d)
+
+
+def test_rejects_non_f32():
+    """f64 input raises like the sibling kernels instead of silently
+    downcasting to f32 and re-labeling the result as f64."""
+    u, old, ff, kw = _problem(n=48)
+    with pytest.raises(ValueError, match="float32-only"):
+        tiled_solve_momentum(
+            u.astype(jnp.float64), old.astype(jnp.float64), ff,
+            scheme="UPWIND", interpret=True, **kw)

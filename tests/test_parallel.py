@@ -435,3 +435,88 @@ def test_spmd_checkpoint_resume_matches_single_device(tmp_path):
     for k in ("u", "v", "p"):
         np.testing.assert_array_equal(
             fb[k], np.asarray(getattr(ref.state, k)))
+
+
+def test_spmd_detectors_match_single_device():
+    """The decomposed solver honors the convergence detectors (they were
+    silently ignored): with unreachable rms criteria a Cauchy-detected
+    steady state stops BOTH solvers at the same iteration (f64
+    trajectories are bit-identical, and ghost-row drift equals
+    adjacent-interior drift, so the detector decisions match)."""
+    from sr_for_cfd_tpu.parallel.spmd_step import SpmdSolver
+    from sr_for_cfd_tpu.solver.cases import make_cavity_solver
+
+    crit = {"u": 1e-30, "v": 1e-30, "p": 1e-30}  # unreachable
+    kw = dict(Re=100, nx=16, ny=16, dt=8e-3, scheme="UPWIND",
+              dtype="float64", chunk_size=500, max_iterations=5000,
+              convergence_criteria=crit,
+              cauchy_tol=1e-6, cauchy_check_every=100)
+    ref = make_cavity_solver(**kw)
+    ref.solve("/tmp/unused_det", verbose=False, save_results=False)
+    assert int(ref.state.count) < 5000  # the detector actually fired
+
+    solver = SpmdSolver(make_cavity_solver(**kw).case, make_mesh(8, "x"))
+    local = solver.solve()
+    assert int(local.count) == int(ref.state.count)
+    fields = solver.global_fields()
+    np.testing.assert_array_equal(fields["u"], np.asarray(ref.state.u))
+
+
+def test_spmd_hold_matches_single_device():
+    """Sustained-hold convergence (convergence_hold > 1) on the SPMD
+    path: criteria must hold for N consecutive iterations, same count as
+    the single-device loop (f64 bit-identical trajectories)."""
+    from sr_for_cfd_tpu.parallel.spmd_step import SpmdSolver
+    from sr_for_cfd_tpu.solver.cases import make_cavity_solver
+
+    crit = {"u": 1e-4, "v": 1e-4, "p": 1e-4}
+    kw = dict(Re=100, nx=16, ny=16, dt=8e-3, scheme="UPWIND",
+              dtype="float64", chunk_size=500, max_iterations=4000,
+              convergence_criteria=crit, convergence_hold=100)
+    ref = make_cavity_solver(**kw)
+    ref.solve("/tmp/unused_hold", verbose=False, save_results=False)
+    n_ref = int(ref.state.count)
+    assert 100 < n_ref < 4000
+
+    solver = SpmdSolver(make_cavity_solver(**kw).case, make_mesh(8, "x"))
+    local = solver.solve()
+    assert int(local.count) == n_ref
+
+
+def test_spmd_plateau_stop():
+    """Device-side plateau stopping works inside the SPMD chunk: an f32
+    run with unreachable criteria exits well before max_iterations once
+    the residuals hit the working-precision floor (count is not compared
+    with the single-device loop: f32 psum reduction order may differ)."""
+    from sr_for_cfd_tpu.parallel.spmd_step import SpmdSolver
+    from sr_for_cfd_tpu.solver.cases import make_cavity_solver
+
+    crit = {"u": 1e-30, "v": 1e-30, "p": 1e-30}
+    kw = dict(Re=100, nx=16, ny=16, dt=8e-3, scheme="UPWIND",
+              dtype="float32", chunk_size=1000, max_iterations=9000,
+              convergence_criteria=crit,
+              plateau_patience=3, plateau_check_every=200)
+    solver = SpmdSolver(make_cavity_solver(**kw).case, make_mesh(8, "x"))
+    local = solver.solve()
+    assert bool(local.converged)       # plateau marked it converged
+    assert int(local.count) < 9000     # and it exited early
+    assert np.all(np.isfinite(solver.global_fields()["u"]))
+
+
+def test_spmd_rejects_unsupported_settings():
+    """use_pallas + multigrid (no Pallas sharded-MG smoother exists) and
+    rre_every are refused with actionable errors instead of silently
+    running a different execution path."""
+    from sr_for_cfd_tpu.parallel.spmd_step import SpmdSolver
+    from sr_for_cfd_tpu.solver.cases import make_cavity_solver
+
+    mesh = make_mesh(8, "x")
+    case = make_cavity_solver(
+        nx=32, ny=32, use_pallas=True, pressure_solver="multigrid",
+    ).case
+    with pytest.raises(ValueError, match="sharded-multigrid"):
+        SpmdSolver(case, mesh)
+
+    case = make_cavity_solver(nx=32, ny=32, rre_every=500).case
+    with pytest.raises(ValueError, match="rre_every"):
+        SpmdSolver(case, mesh)
