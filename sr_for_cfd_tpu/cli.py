@@ -55,7 +55,9 @@ def _solver_args(p: argparse.ArgumentParser, dt: float, scheme: str):
     p.add_argument("--spmd", type=int, default=1, metavar="N",
                    help="domain-decompose the solve over N devices "
                         "(interior rows sharded, ppermute halos - "
-                        "parallel.spmd_step.SpmdSolver; nx must divide N)")
+                        "parallel.spmd_step.SpmdSolver; nx must divide N). "
+                        "For `hybrid` this decomposes the fine phases; "
+                        "the coarse phase stays single-device")
     p.add_argument("--out", default=None, help="output base name / directory")
     p.add_argument("--quiet", action="store_true")
 
@@ -140,9 +142,6 @@ def cmd_bfs(args):
 def cmd_hybrid(args):
     from .workflow.hybrid import run_hybrid_experiment
 
-    if args.spmd > 1:
-        raise SystemExit("--spmd applies to the cavity/bfs solves; the "
-                         "hybrid workflow runs single-device")
     kw = dict(
         dt=args.dt, scheme=args.scheme, dtype=args.dtype,
         fused_step=args.fused, pressure_sor=args.sor,
@@ -150,6 +149,10 @@ def cmd_hybrid(args):
         steps_per_kernel=args.steps_per_kernel,
         use_pallas=args.use_pallas,
     )
+    if args.spmd > 1:
+        # decompose the FINE phases over N devices (the coarse phase is
+        # pinned single-device by run_hybrid_experiment)
+        kw["spmd_devices"] = args.spmd
     # only forward the shared-solver defaults when the user changed them:
     # run_hybrid_experiment's coarse phase sets its own (plateau ON,
     # whole-budget single-dispatch chunk) and unconditional forwarding

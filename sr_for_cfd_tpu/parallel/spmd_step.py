@@ -711,3 +711,78 @@ class SpmdSolver:
         with np.load(_npz_path(path)) as data:
             count = int(data["count"])
         self.warm_start(fields, count=count)
+
+
+class SpmdWorkflowAdapter:
+    """CFDSolver-shaped facade over `SpmdSolver` for the hybrid workflow
+    (`workflow/hybrid.py`): the fine phases of the reference experiment
+    (`PyCFD_ML_accelerated.py:882-959, 1126-1179`) run domain-decomposed
+    while keeping the exact warm_start/precompile/solve/artifact surface
+    the workflow drives. `.mesh` is MeshParameters (as on CFDSolver);
+    the device mesh lives at `.spmd.mesh`."""
+
+    def __init__(self, solver: SpmdSolver):
+        self.spmd = solver
+        self.case = solver.case
+
+    @property
+    def mesh(self):
+        return self.case.mesh
+
+    @property
+    def fluid(self):
+        return self.case.fluid
+
+    @property
+    def settings(self):
+        return self.case.settings
+
+    @property
+    def Var(self) -> np.ndarray:
+        return self.spmd.Var
+
+    @property
+    def residual_history(self):
+        return self.spmd.residual_history
+
+    def interior_fields(self) -> Dict[str, np.ndarray]:
+        return self.spmd.interior_fields()
+
+    def warm_start(self, fields: Dict[str, np.ndarray],
+                   count: int = 0) -> None:
+        self.spmd.warm_start(fields, count=count)
+
+    def precompile(self) -> float:
+        """AOT-compile the shard_map chunk ahead of the timed phase. (No
+        sacrificial warmup dispatch here, unlike CFDSolver.precompile -
+        the relay-stall workaround matters on the tunneled single-chip
+        backend, where SpmdSolver isn't the perf path.)"""
+        import time
+
+        t0 = time.time()
+        self.spmd._chunk_fn.lower(self.spmd.local, self.spmd._nu).compile()
+        return time.time() - t0
+
+    def solve(self, output_base_name: str, verbose: bool = True,
+              save_results: bool = True, **_ignored):
+        """(iterations, elapsed_seconds), writing the same artifact suite
+        as CFDSolver.solve."""
+        import time
+
+        t0 = time.time()
+        local = self.spmd.solve()
+        elapsed = time.time() - t0
+        if bool(local.diverged):
+            from ..solver.simple import DivergenceError
+
+            raise DivergenceError(
+                f"Solution diverged at iteration {int(local.count)}: "
+                f"RMS = {np.asarray(local.rms).tolist()} (NaN/Inf)."
+            )
+        if verbose:
+            print(f"\nSimulation completed in {elapsed:.2f} seconds "
+                  f"({self.spmd.mesh.shape} device mesh)")
+            print(f"Total iterations: {int(local.count)}")
+        if save_results:
+            self.spmd.save_results(output_base_name)
+        return int(local.count), elapsed

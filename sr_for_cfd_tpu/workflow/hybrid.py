@@ -47,17 +47,28 @@ def _make_solver(
     **kw,
 ) -> CFDSolver:
     if case == "bfs":
-        return make_bfs_solver(
+        solver = make_bfs_solver(
             Re=Re, nx=nx, ny=ny, dt=dt, scheme=scheme,
             convergence_criteria=convergence_criteria,
             max_iterations=max_iterations, bc=bc, **kw,
         )
-    return make_cavity_solver(
-        Re=Re, nx=nx, ny=ny, dt=dt, scheme=scheme,
-        convergence_criteria=convergence_criteria,
-        max_iterations=max_iterations, bc=bc,
-        double_lid=(case == "double_lid"), **kw,
-    )
+    else:
+        solver = make_cavity_solver(
+            Re=Re, nx=nx, ny=ny, dt=dt, scheme=scheme,
+            convergence_criteria=convergence_criteria,
+            max_iterations=max_iterations, bc=bc,
+            double_lid=(case == "double_lid"), **kw,
+        )
+    # spmd_devices > 1: run this phase domain-decomposed (interior rows
+    # sharded over an N-device mesh, parallel/spmd_step.py) behind the
+    # same CFDSolver-shaped surface the workflow drives
+    if kw.get("spmd_devices", 1) > 1:
+        from ..parallel.mesh import make_mesh
+        from ..parallel.spmd_step import SpmdSolver, SpmdWorkflowAdapter
+
+        return SpmdWorkflowAdapter(SpmdSolver(
+            solver.case, make_mesh(kw["spmd_devices"], "x")))
+    return solver
 
 
 def run_coarse_simulation(
@@ -334,6 +345,10 @@ def run_hybrid_experiment(
     coarse_kw = dict(kw)
     coarse_kw.setdefault("plateau_patience", 5)
     coarse_kw.setdefault("chunk_size", max_iterations_coarse)
+    # spmd_devices targets the FINE phases; a 10x10 coarse grid cannot
+    # (usefully) decompose - pin it single-device unless coarse_overrides
+    # explicitly asks otherwise
+    coarse_kw["spmd_devices"] = 1
     # tiny-grid inner solves hit their f32 residual floor in O(10) sweeps
     # (measured: 8 on 10x10); the floor sits knife-edge at the 1e-6 inner
     # tolerance, so the exit check can flip to the 1000-sweep cap and burn

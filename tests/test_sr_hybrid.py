@@ -234,3 +234,36 @@ def test_conventional_artifact_names_are_used_as_defaults(tmp_path):
         dtype="float32", max_iterations=2, chunk_size=2,
     )
     assert hrf["u"].shape == (hr, hr)
+
+
+def test_hybrid_spmd_fine_phases(tmp_path, rng):
+    """The hybrid driver runs its FINE phases domain-decomposed
+    (spmd_devices=8 -> SpmdWorkflowAdapter over the 8-device virtual
+    mesh) behind the same workflow surface: warm start helps, centerlines
+    agree, the artifact suite is written, and the coarse phase stays
+    single-device (10 doesn't divide 8)."""
+    import os
+
+    from sr_for_cfd_tpu.workflow.hybrid import run_hybrid_experiment
+
+    stats_path = str(tmp_path / "stats.txt")
+    stz.write_stats_file(stats_path, {
+        "mean10_u": 0.0, "std10_u": 0.23, "mean10_v": 0.0, "std10_v": 0.15,
+        "mean10_p": -0.02, "std10_p": 0.06,
+        "mean24_u": 0.0, "std24_u": 0.28, "mean24_v": 0.0, "std24_v": 0.18,
+        "mean24_p": -0.02, "std24_p": 0.075,
+    })
+    out = str(tmp_path / "run")
+    results = run_hybrid_experiment(
+        Re=100, lr_dim=10, hr_dim=24, dt=2e-3, scheme="UPWIND",
+        max_iterations_ml=20000, max_iterations_normal=20000,
+        stats_file=stats_path, output_dir=out,
+        verbose=False, save_results=True, dtype="float64",
+        chunk_size=1000, spmd_devices=8,
+    )
+    assert results["ml_iterations"] < results["normal_iterations"]
+    assert results["centerline_diff"]["U"]["max"] < 1e-4
+    # decomposed fine runs wrote the same artifact suite
+    files = os.listdir(out)
+    assert any(f.endswith("_accelerated_centerline.dat") for f in files)
+    assert any(f.endswith("_normal_full.dat") for f in files)
