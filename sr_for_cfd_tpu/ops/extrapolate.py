@@ -94,6 +94,25 @@ def push_snapshot(buf: RREBuffer, flat: jnp.ndarray) -> RREBuffer:
     return RREBuffer(snaps=snaps, count=buf.count + 1)
 
 
+def gram_coeffs(G: jnp.ndarray) -> jnp.ndarray:
+    """Affine-combination coefficients from a (K, K) difference Gram
+    matrix: solve (G + ridge I) gamma = 1, c = gamma / sum gamma.
+
+    Shared by the single-device path (`rre_extrapolate`, whole-vector
+    Gram) and the decomposed path (`parallel/spmd_step.py`, psum of
+    per-rank partial Grams) so both apply the identical ridge policy.
+    The dtype-aware ridge is ~sqrt(eps) relative - large enough to
+    dominate the inner-product rounding noise of the Gram entries, small
+    enough not to bias the mode cancellation (kappa(G) = kappa(D)^2
+    amplifies the ridge into recovery error)."""
+    K = G.shape[0]
+    rel = 1e-6 if G.dtype == jnp.float32 else 1e-12
+    ridge = jnp.asarray(rel, G.dtype) * jnp.trace(G) / K
+    G = G + ridge * jnp.eye(K, dtype=G.dtype)
+    gamma = jnp.linalg.solve(G, jnp.ones((K,), G.dtype))
+    return gamma / jnp.sum(gamma)
+
+
 def rre_extrapolate(
     snaps: jnp.ndarray,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -103,26 +122,17 @@ def rre_extrapolate(
     D = [x_1-x_0, ..., x_K-x_{K-1}] via the normal equations
     (G gamma = 1, c = gamma / sum gamma), then x_star = sum c_i x_{i+1}.
     The Gram matrix is computed on globally-scaled differences (scale
-    invariance of the constrained problem) with a small ridge; `ok` is
-    False when the result is non-finite or the jump is implausibly large
-    relative to the last window drift (singular G at the noise floor) -
-    callers skip the injection and simply keep iterating.
+    invariance of the constrained problem) with a small ridge
+    (`gram_coeffs`); `ok` is False when the result is non-finite or the
+    jump is implausibly large relative to the last window drift
+    (singular G at the noise floor) - callers skip the injection and
+    simply keep iterating.
     """
-    K = snaps.shape[0] - 1
     D = snaps[1:] - snaps[:-1]  # (K, n)
     drift = jnp.max(jnp.abs(D[-1]))
     scale = jnp.maximum(drift, jnp.finfo(snaps.dtype).tiny)
     Dn = D / scale
-    G = Dn @ Dn.T  # (K, K)
-    # dtype-aware ridge: ~sqrt(eps) relative - large enough to dominate
-    # the inner-product rounding noise of the Gram entries, small enough
-    # not to bias the mode cancellation (kappa(G) = kappa(D)^2 amplifies
-    # the ridge into recovery error)
-    rel = 1e-6 if G.dtype == jnp.float32 else 1e-12
-    ridge = jnp.asarray(rel, G.dtype) * jnp.trace(G) / K
-    G = G + ridge * jnp.eye(K, dtype=G.dtype)
-    gamma = jnp.linalg.solve(G, jnp.ones((K,), G.dtype))
-    c = gamma / jnp.sum(gamma)
+    c = gram_coeffs(Dn @ Dn.T)
     x_star = c @ snaps[1:]
     jump = jnp.max(jnp.abs(x_star - snaps[-1]))
     ok = jnp.all(jnp.isfinite(x_star)) & (jump <= 1e3 * drift) & (drift > 0)

@@ -152,9 +152,19 @@ def make_spmd_mg_solve(plan: SpmdMGPlan, axis: str, n_dev: int, *,
                        tol: float, n_pre: int = 4, n_post: int = 4,
                        sor: float = MG_SMOOTHER_SOR,
                        max_cycles: int = MG_MAX_CYCLES,
-                       coarsest_sweeps: int = 40):
+                       coarsest_sweeps: int = 40,
+                       use_pallas: bool = False,
+                       interpret: bool = False):
     """Build `solve(x_band, b_band) -> (x_band, cycles)` for use inside
-    the shard_map step. Bands are (rows, nyl) interior blocks."""
+    the shard_map step. Bands are (rows, nyl) interior blocks.
+
+    `use_pallas=True` runs the sharded-level smoother sweeps as per-rank
+    Pallas kernels (`spmd_pallas.shard_rb_sweep` - the MG system is the
+    same masked red-black update with a zero exterior instead of frozen
+    BC ghosts, so the kernel is shared): one 2-row halo exchange per
+    sweep with redundant halo-row recompute, each rank's block
+    VMEM-resident. Transfers stay MXU matmuls and the replicated coarse
+    tail stays jnp - the smoother is where the sweep FLOPs are."""
     fwd = [(i, (i + 1) % n_dev) for i in range(n_dev)]
     bwd = [(i, (i - 1) % n_dev) for i in range(n_dev)]
     nx0, ny0 = plan.sizes[0]
@@ -207,7 +217,7 @@ def make_spmd_mg_solve(plan: SpmdMGPlan, axis: str, n_dev: int, *,
         jj = jax.lax.broadcasted_iota(jnp.int32, ii.shape, 1)
         return (ii + jj) % 2 == 0
 
-    def smooth_band(x, b, lvl, n_sweeps, omega):
+    def smooth_band_jnp(x, b, lvl, n_sweeps, omega):
         inv_dx2, inv_dy2 = plan.spacings[lvl]
         inv_ap = omega / (-plan.volp_levels[lvl]
                           * (2.0 * inv_dx2 + 2.0 * inv_dy2))
@@ -221,6 +231,35 @@ def make_spmd_mg_solve(plan: SpmdMGPlan, axis: str, n_dev: int, *,
             return x
 
         return jax.lax.fori_loop(0, n_sweeps, sweep, x)
+
+    def smooth_band_pallas(x, b, lvl, n_sweeps, omega):
+        """Per-rank Pallas smoother: same masked red-black update as the
+        jnp path, one 2-row halo exchange per sweep (the kernel
+        recomputes the neighbor's red half on the halo rows locally,
+        `spmd_pallas.py` module docstring). b's halo travels once per
+        smooth call (frozen during the sweeps)."""
+        from .spmd_pallas import extend_b_halo, shard_rb_sweep
+
+        inv_dx2, inv_dy2 = plan.spacings[lvl]
+        nxl, nyl = plan.sizes[lvl]
+        rows = x.shape[0]
+        rank = rank_of()
+        row0 = jnp.full((1, 1), 1, jnp.int32) * (rank * rows)
+        b_ext = extend_b_halo(b, axis, fwd, bwd, rank, n_dev)
+        zc = jnp.zeros((rows + 4, 1), x.dtype)
+
+        def sweep(_, x):
+            ext = jnp.concatenate([zc, assemble0(x, h=2), zc], axis=1)
+            own, _ = shard_rb_sweep(
+                ext, b_ext, row0, nxg=nxl, inv_dx2=inv_dx2,
+                inv_dy2=inv_dy2, volp=plan.volp_levels[lvl], sor=omega,
+                axis_name=axis, interpret=interpret,
+            )
+            return own[:, 1:-1]
+
+        return jax.lax.fori_loop(0, n_sweeps, sweep, x)
+
+    smooth_band = smooth_band_pallas if use_pallas else smooth_band_jnp
 
     def pick(stack):
         return jax.lax.dynamic_index_in_dim(

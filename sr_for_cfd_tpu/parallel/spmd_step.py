@@ -118,6 +118,78 @@ def _ghost_row(row, side_bc, var_k: int, profile: Optional[BFSInletProfile],
     return g
 
 
+def _apply_bc_y(x_own: jnp.ndarray, bc) -> jnp.ndarray:
+    """Rank-local y-ghost-column fill (every own row is a global interior
+    row, so top/bottom BCs apply to all of them)."""
+    bot = (2.0 * bc.bottom.value - x_own[:, 1]
+           if bc.bottom.type == DIRICHLET else x_own[:, 1])
+    top = (2.0 * bc.top.value - x_own[:, -2]
+           if bc.top.type == DIRICHLET else x_own[:, -2])
+    return x_own.at[:, 0].set(bot).at[:, -1].set(top)
+
+
+def _make_rre_ops(case: CaseConfig, profile: Optional[BFSInletProfile],
+                  n_dev: int):
+    """Per-rank flatten/inject for decomposed RRE (`ops/extrapolate.py`
+    run under shard_map; enabled by `rre_every > 0` on `SpmdSolver`).
+
+    The local flat vector is this rank's band of the SAME global vector
+    the single-device path extrapolates (`extrapolate.flatten_state`:
+    padded fields + face fluxes): interior-row bands plus the derived
+    domain x-ghost rows, the latter carried in per-rank slots that are
+    ZERO off the boundary ranks. Zeros contribute nothing to dot
+    products, so psum of the per-rank partial Grams equals the
+    single-device whole-vector Gram up to reduction order."""
+    nx, ny = case.mesh.nx, case.mesh.ny
+    rows = nx // n_dev
+    bcs = {0: case.u_bc, 1: case.v_bc, 2: case.p_bc}
+
+    def flatten(s: SpmdState, rank) -> jnp.ndarray:
+        parts = []
+        for x, k in ((s.u, 0), (s.v, 1), (s.p, 2)):
+            bc = bcs[k]
+            gl = _ghost_row(x[0], bc.left, k, profile, is_left=True)
+            gh = _ghost_row(x[-1], bc.right, k, profile, is_left=False)
+            # corner entries: apply_bc never writes them, so the single-
+            # device snapshot carries exact zeros there (ops/bc.py:12-14);
+            # _ghost_row reflects them - zero them for Gram parity
+            gl = gl.at[0].set(0.0).at[-1].set(0.0)
+            gh = gh.at[0].set(0.0).at[-1].set(0.0)
+            zero = jnp.zeros_like(gl)
+            parts.append(jnp.where(rank == 0, gl, zero))
+            parts.append(x.ravel())
+            parts.append(jnp.where(rank == n_dev - 1, gh, zero))
+        parts += [s.ff.e.ravel(), s.ff.n.ravel(),
+                  s.ff.w.ravel(), s.ff.s.ravel()]
+        return jnp.concatenate(parts)
+
+    def inject(s: SpmdState, x_star: jnp.ndarray) -> SpmdState:
+        """Mirror of `extrapolate.inject_state`: rebuild fields from the
+        extrapolated vector, refresh the rank-local y ghosts (x ghosts
+        are derived on demand from the BC spec each step), reset olds
+        and face fluxes to the extrapolated values."""
+        band_n, row_n, core = rows * (ny + 2), ny + 2, rows * ny
+        off, bands = 0, []
+        for k in range(3):
+            off += row_n  # skip the ghost-row slot (re-derived on demand)
+            band = x_star[off:off + band_n].reshape(rows, ny + 2)
+            off += band_n + row_n
+            bands.append(_apply_bc_y(band, bcs[k]))
+        u2, v2, p2 = bands
+        ffs = []
+        for _ in range(4):
+            ffs.append(x_star[off:off + core].reshape(rows, ny))
+            off += core
+        return s._replace(
+            u=u2, v=v2, p=p2,
+            u_old=u2[:, 1:-1], v_old=v2[:, 1:-1], p_old=p2[:, 1:-1],
+            ff=FaceFluxes(*ffs),
+        )
+
+    n_flat_local = 3 * (rows + 2) * (ny + 2) + 4 * rows * ny
+    return flatten, inject, n_flat_local
+
+
 def _make_step(case: CaseConfig, profile: Optional[BFSInletProfile],
                mesh: Mesh, axis: str):
     """Build the per-rank step function (closed over all static config)."""
@@ -144,6 +216,7 @@ def _make_step(case: CaseConfig, profile: Optional[BFSInletProfile],
             mg_plan, axis, n_dev, tol=st.inner_tolerance,
             n_pre=st.mg_n_pre, n_post=st.mg_n_post,
             coarsest_sweeps=st.mg_coarsest_sweeps,
+            use_pallas=use_pallas_p, interpret=pallas_interpret,
         )
     alpha = {k: st.relax(k) for k in ("u", "v", "p")}
     fwd = [(i, (i + 1) % n_dev) for i in range(n_dev)]
@@ -194,14 +267,7 @@ def _make_step(case: CaseConfig, profile: Optional[BFSInletProfile],
         )
 
     def apply_bc_y(x_own, var_k: int):
-        """Rank-local y-ghost-column fill (every own row is a global
-        interior row, so top/bottom BCs apply to all of them)."""
-        bc = bcs[var_k]
-        bot = (2.0 * bc.bottom.value - x_own[:, 1]
-               if bc.bottom.type == DIRICHLET else x_own[:, 1])
-        top = (2.0 * bc.top.value - x_own[:, -2]
-               if bc.top.type == DIRICHLET else x_own[:, -2])
-        return x_own.at[:, 0].set(bot).at[:, -1].set(top)
+        return _apply_bc_y(x_own, bcs[var_k])
 
     def momentum_residual(x_own, glow, ghigh, old_own, ff, nu):
         if quick:
@@ -471,24 +537,116 @@ def _make_chunk(case: CaseConfig, profile, mesh: Mesh, axis: str,
                 n_steps: int):
     step = _make_step(case, profile, mesh, axis)
     st = case.settings
+    check_vma = not st.use_pallas
+    use_rre = st.rre_every > 0
+    if use_rre:
+        from ..ops import extrapolate as rre
+
+        n_dev = mesh.shape[axis]
+        flatten, inject, n_flat = _make_rre_ops(case, profile, n_dev)
+        K = st.rre_depth
+
+    def vary(x):
+        """Mark fresh (device-invariant) values as varying over the mesh
+        axis (cf. spmd_mg.vary); no-op on the Pallas path, where
+        check_vma is off and vma is untracked."""
+        if not check_vma or axis in getattr(jax.typeof(x), "vma", ()):
+            return x
+        return jax.lax.pcast(x, (axis,), to="varying")
+
+    def rre_stage(s: SpmdState, buf):
+        """Decomposed reduced-rank extrapolation: same snapshot cadence,
+        coefficient solve, plausibility gate and injection as the
+        single-device loop (`solver/simple.py:run_chunk`), with the two
+        global reductions (window drift, difference Gram) assembled by
+        pmax/psum of per-rank partials. Local reductions run inside
+        `lax.cond` (999 of 1000 iterations skip them), the collectives
+        run unconditionally outside - the same no-collective-in-a-cond
+        pattern as the Cauchy detector above. One deliberate delta vs
+        single-device: the detectors run inside `step`, so at an
+        iteration where a jump fires the Cauchy reference holds the
+        PRE-jump field; the next drift check then reads large and cannot
+        falsely declare steady state (self-correcting, conservative)."""
+        rank = jax.lax.axis_index(axis)
+        at_snap = jnp.logical_and(
+            (s.count % st.rre_every) == 0, s.count >= st.rre_min_count
+        )
+        buf = jax.lax.cond(
+            at_snap,
+            lambda b: rre.push_snapshot(b, flatten(s, rank)),
+            lambda b: b,
+            buf,
+        )
+        do_jump = buf.count > K
+        dtype = buf.snaps.dtype
+        zero = vary(jnp.asarray(0.0, dtype))
+        drift_l = jax.lax.cond(
+            do_jump,
+            lambda: jnp.max(jnp.abs(buf.snaps[-1] - buf.snaps[-2])),
+            lambda: zero,
+        )
+        drift = jax.lax.pmax(drift_l, axis)
+        scale = jnp.maximum(drift, jnp.finfo(dtype).tiny)
+        zK = vary(jnp.zeros((K, K), dtype))
+
+        def gram():
+            Dn = (buf.snaps[1:] - buf.snaps[:-1]) / scale
+            return Dn @ Dn.T
+
+        # replicated global Gram; gram_coeffs is only evaluated inside
+        # the do_jump branches (G is all-zero -> singular otherwise)
+        G = jax.lax.psum(jax.lax.cond(do_jump, gram, lambda: zK), axis)
+
+        def jump_mag():
+            x_star = rre.gram_coeffs(G) @ buf.snaps[1:]
+            return jnp.max(jnp.abs(x_star - buf.snaps[-1]))
+
+        jump = jax.lax.pmax(
+            jax.lax.cond(do_jump, jump_mag, lambda: zero), axis
+        )
+        # a non-finite local x_star surfaces as a non-finite pmax'd jump
+        # (same rejection the single-device all-isfinite check performs)
+        ok = (do_jump & jnp.isfinite(jump)
+              & (jump <= 1e3 * drift) & (drift > 0))
+
+        def do_inject(args):
+            s_in, b = args
+            # x_star recomputed rather than threaded out of jump_mag: a
+            # K*n_local matmul per JUMP iteration beats an n_local-sized
+            # false-branch carry on EVERY iteration
+            s_out = inject(s_in, rre.gram_coeffs(G) @ b.snaps[1:])
+            s_new = jax.tree.map(
+                lambda a, bb: jnp.where(ok, a, bb), s_out, s_in
+            )
+            return s_new, b._replace(count=jnp.asarray(0, jnp.int32))
+
+        return jax.lax.cond(do_jump, do_inject, lambda a: a, (s, buf))
 
     def chunk(s: SpmdState, nu) -> SpmdState:
         def body(carry):
-            s, i = carry
-            return step(s, nu), i + 1
+            s, i, buf = carry
+            s = step(s, nu)
+            if use_rre:
+                s, buf = rre_stage(s, buf)
+            return s, i + 1, buf
 
         def cond(carry):
-            s, i = carry
+            s, i = carry[0], carry[1]
             active = jnp.logical_and(
                 jnp.logical_and(~s.converged, ~s.diverged),
                 s.count < st.max_iterations,
             )
             return jnp.logical_and(i < n_steps, active)
 
-        out, _ = jax.lax.while_loop(
-            cond, body, (s, jnp.asarray(0, jnp.int32))
+        if use_rre:
+            buf0 = rre.empty_buffer(K, n_flat, s.u.dtype)
+            buf0 = buf0._replace(snaps=vary(buf0.snaps))
+        else:
+            buf0 = jnp.asarray(0, jnp.int32)  # placeholder, never touched
+        out = jax.lax.while_loop(
+            cond, body, (s, jnp.asarray(0, jnp.int32), buf0)
         )
-        return out
+        return out[0]
 
     specs = _specs(axis)
     # check_vma must be off on the Pallas path: vma propagation through
@@ -538,25 +696,16 @@ class SpmdSolver:
                              "single-device whole-step kernel doesn't "
                              "apply (use_pallas=True runs the per-shard "
                              "Pallas pressure sweep instead)")
-        if (case.settings.use_pallas
-                and case.settings.pressure_solver == "multigrid"):
-            # refuse rather than silently run the jnp sharded V-cycle:
-            # on the single-device path this combination selects the
-            # Pallas MG kernel, and a ported config would otherwise get
-            # a different execution path with no warning
-            raise ValueError(
-                "SpmdSolver has no Pallas sharded-multigrid smoother: "
-                "use pressure_solver='multigrid' WITHOUT use_pallas "
-                "(jnp sharded V-cycles, parallel/spmd_mg.py) or "
-                "pressure_solver='sweeps' with use_pallas=True (per-"
-                "shard Pallas sweep kernel, parallel/spmd_pallas.py)"
-            )
-        if case.settings.rre_every > 0:
-            raise ValueError(
-                "rre_every (reduced-rank extrapolation) is not "
-                "implemented on the decomposed path; disable it or use "
-                "the single-device solver"
-            )
+        # use_pallas + multigrid runs the sharded V-cycle with per-rank
+        # Pallas smoother kernels (spmd_mg.smooth_band_pallas); use_pallas
+        # + sweeps runs the per-shard Pallas pressure sweep
+        # (parallel/spmd_pallas.py) - every single-device mode has a
+        # decomposed counterpart.
+        # rre_every > 0 runs decomposed reduced-rank extrapolation
+        # (_make_rre_ops / rre_stage): per-rank snapshot bands, psum'd
+        # Gram, replicated coefficient solve. As on the single-device
+        # path, the snapshot buffer is chunk-local - a cycle needs
+        # rre_every*(rre_depth+1) iterations within one chunk to fire.
         self.case = case
         self.mesh = mesh
         self.axis = axis

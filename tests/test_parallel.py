@@ -503,20 +503,117 @@ def test_spmd_plateau_stop():
     assert np.all(np.isfinite(solver.global_fields()["u"]))
 
 
-def test_spmd_rejects_unsupported_settings():
-    """use_pallas + multigrid (no Pallas sharded-MG smoother exists) and
-    rre_every are refused with actionable errors instead of silently
-    running a different execution path."""
+def test_spmd_multigrid_pallas_smoother_matches_jnp():
+    """use_pallas + multigrid on the decomposed path: the sharded V-cycle
+    with per-rank Pallas smoother kernels (spmd_mg.smooth_band_pallas)
+    matches the jnp sharded V-cycle - same masked red-black update, zero
+    exterior, one 2-row halo exchange per sweep with redundant halo-row
+    recompute. Outer counts identical, fields to f32 rounding (Pallas
+    kernels are f32 by config policy)."""
     from sr_for_cfd_tpu.parallel.spmd_step import SpmdSolver
     from sr_for_cfd_tpu.solver.cases import make_cavity_solver
 
     mesh = make_mesh(8, "x")
-    case = make_cavity_solver(
-        nx=32, ny=32, use_pallas=True, pressure_solver="multigrid",
-    ).case
-    with pytest.raises(ValueError, match="sharded-multigrid"):
-        SpmdSolver(case, mesh)
+    kw = dict(Re=100, nx=64, ny=64, dt=2e-3, scheme="UPWIND",
+              dtype="float32", chunk_size=100, max_iterations=200,
+              pressure_solver="multigrid")
+    ref = SpmdSolver(make_cavity_solver(**kw).case, mesh)
+    s_ref = ref.solve()
 
-    case = make_cavity_solver(nx=32, ny=32, rre_every=500).case
-    with pytest.raises(ValueError, match="rre_every"):
-        SpmdSolver(case, mesh)
+    pal = SpmdSolver(
+        make_cavity_solver(**kw, use_pallas=True).case, mesh
+    )
+    s_pal = pal.solve()
+    assert int(s_pal.count) == int(s_ref.count)
+    f_ref, f_pal = ref.global_fields(), pal.global_fields()
+    for k in ("u", "v", "p"):
+        np.testing.assert_allclose(f_pal[k], f_ref[k], atol=2e-5)
+
+
+def test_spmd_rre_first_jump_matches_single_device():
+    """Decomposed RRE's first extrapolation jump lands where the
+    single-device one does: snapshots at 200/250/.../400 fill the
+    depth-4 buffer and the jump fires at iteration 400. The psum'd
+    per-rank Gram differs from the whole-vector Gram only by reduction
+    order (f64), so fields a few iterations later agree to ~1e-9 - and
+    both differ materially from the no-RRE trajectory (the jump fired)."""
+    from sr_for_cfd_tpu.parallel.spmd_step import SpmdSolver
+    from sr_for_cfd_tpu.solver.cases import make_cavity_solver
+
+    crit = {"u": 1e-30, "v": 1e-30, "p": 1e-30}  # run the full budget
+    kw = dict(Re=100, nx=16, ny=16, dt=8e-3, scheme="UPWIND",
+              dtype="float64", chunk_size=500, max_iterations=405,
+              convergence_criteria=crit,
+              rre_every=50, rre_depth=4, rre_min_count=200)
+    ref = make_cavity_solver(**kw)
+    ref.solve("/tmp/unused_rre", verbose=False, save_results=False)
+    assert int(ref.state.count) == 405
+
+    solver = SpmdSolver(make_cavity_solver(**kw).case, make_mesh(8, "x"))
+    local = solver.solve()
+    assert int(local.count) == 405
+    fields = solver.global_fields()
+    np.testing.assert_allclose(
+        fields["u"], np.asarray(ref.state.u), atol=1e-9
+    )
+    np.testing.assert_allclose(
+        fields["p"], np.asarray(ref.state.p), atol=1e-9
+    )
+
+    plain = make_cavity_solver(**{**kw, "rre_every": 0})
+    plain.solve("/tmp/unused_rre0", verbose=False, save_results=False)
+    assert np.max(np.abs(np.asarray(plain.state.u)
+                         - np.asarray(ref.state.u))) > 1e-7
+
+
+def test_spmd_rre_accelerates_convergence():
+    """RRE on the decomposed path does its job: the extrapolated solve
+    reaches the (tight) criteria in fewer outer iterations than the
+    plain decomposed solve, and lands on the same steady state."""
+    from sr_for_cfd_tpu.parallel.spmd_step import SpmdSolver
+    from sr_for_cfd_tpu.solver.cases import make_cavity_solver
+
+    crit = {"u": 1e-10, "v": 1e-10, "p": 1e-10}
+    kw = dict(Re=100, nx=16, ny=16, dt=8e-3, scheme="UPWIND",
+              dtype="float64", chunk_size=1000, max_iterations=20000,
+              convergence_criteria=crit)
+    mesh = make_mesh(8, "x")
+
+    plain = SpmdSolver(make_cavity_solver(**kw).case, mesh)
+    s_plain = plain.solve()
+    assert bool(s_plain.converged)
+
+    rre = SpmdSolver(
+        make_cavity_solver(
+            **kw, rre_every=100, rre_depth=4, rre_min_count=300
+        ).case,
+        mesh,
+    )
+    s_rre = rre.solve()
+    assert bool(s_rre.converged)
+    assert int(s_rre.count) < int(s_plain.count)
+    np.testing.assert_allclose(
+        rre.global_fields()["u"], plain.global_fields()["u"], atol=1e-7
+    )
+
+
+@pytest.mark.parametrize("extra", [
+    dict(pressure_solver="multigrid", dtype="float64"),  # sharded V-cycles
+    dict(use_pallas=True, dtype="float32"),  # per-shard Pallas sweep
+])
+def test_spmd_rre_composes_with_pressure_paths(extra):
+    """RRE composes with the sharded-multigrid and per-shard-Pallas
+    pressure paths (the accelerators are orthogonal: one cuts inner
+    sweeps, the other outer iterations). The Pallas case (f32 - Pallas
+    kernels are f32 by config policy) also exercises the
+    check_vma=False branch of the RRE stage."""
+    from sr_for_cfd_tpu.parallel.spmd_step import SpmdSolver
+    from sr_for_cfd_tpu.solver.cases import make_cavity_solver
+
+    kw = dict(Re=100, nx=16, ny=16, dt=8e-3, scheme="UPWIND",
+              chunk_size=1000, max_iterations=6000,
+              rre_every=100, rre_depth=4, rre_min_count=300, **extra)
+    solver = SpmdSolver(make_cavity_solver(**kw).case, make_mesh(8, "x"))
+    local = solver.solve()
+    assert np.all(np.isfinite(solver.global_fields()["u"]))
+    assert not bool(local.diverged)
