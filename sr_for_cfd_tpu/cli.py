@@ -52,6 +52,14 @@ def _solver_args(p: argparse.ArgumentParser, dt: float, scheme: str):
                         "right kernel auto-dispatches by grid size "
                         "(VMEM-resident V-cycle, then slab-streamed "
                         "V-cycle + tiled momentum past ~1160^2)")
+    p.add_argument("--rre", type=int, default=0, metavar="W",
+                   help="reduced-rank extrapolation: snapshot the state "
+                        "every W iterations and jump once depth+1 "
+                        "snapshots accumulate (ops/extrapolate.py; "
+                        "measured 2.3x fewer iterations on the 10x10 "
+                        "coarse cavity; composes with --spmd)")
+    p.add_argument("--rre-depth", type=int, default=6, metavar="K",
+                   help="RRE window depth (snapshots per jump = K+1)")
     p.add_argument("--spmd", type=int, default=1, metavar="N",
                    help="domain-decompose the solve over N devices "
                         "(interior rows sharded, ppermute halos - "
@@ -71,6 +79,7 @@ def _common_kw(args):
         plateau_patience=args.plateau,
         steps_per_kernel=args.steps_per_kernel,
         use_pallas=args.use_pallas,
+        rre_every=args.rre, rre_depth=args.rre_depth,
     )
 
 

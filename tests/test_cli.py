@@ -37,6 +37,26 @@ def test_cavity_run_via_cli(tmp_path, capsys):
         assert os.path.exists(out + suffix), suffix
 
 
+def test_cavity_rre_via_cli(tmp_path, capsys):
+    """--rre threads rre_every/rre_depth into the solver: the
+    extrapolated run converges in fewer iterations than the plain one."""
+    def iters(extra, name):
+        out = str(tmp_path / name)
+        main([
+            "cavity", "--re", "100", "--nx", "12", "--dt", "8e-3",
+            "--scheme", "UPWIND", "--dtype", "float64",
+            "--chunk-size", "2000", "--max-iterations", "20000",
+            "--quiet", "--out", out, *extra,
+        ])
+        line = [ln for ln in capsys.readouterr().out.splitlines()
+                if "Converged in" in ln][-1]
+        return int(line.split()[2])
+
+    n_plain = iters([], "plain")
+    n_rre = iters(["--rre", "50", "--rre-depth", "4"], "rre")
+    assert n_rre < n_plain
+
+
 def test_sweep_and_train_via_cli(tmp_path, capsys):
     data_dir = str(tmp_path / "d")
     main([
