@@ -162,6 +162,13 @@ def cmd_hybrid(args):
         # decompose the FINE phases over N devices (the coarse phase is
         # pinned single-device by run_hybrid_experiment)
         kw["spmd_devices"] = args.spmd
+    if args.rre:
+        # RRE targets the long pseudo-time march of the COARSE phase
+        # (whole-budget single-dispatch chunk, so the cycle always fits);
+        # the capped fine phases run too few iterations for a jump
+        kw["coarse_overrides"] = {
+            "rre_every": args.rre, "rre_depth": args.rre_depth,
+        }
     # only forward the shared-solver defaults when the user changed them:
     # run_hybrid_experiment's coarse phase sets its own (plateau ON,
     # whole-budget single-dispatch chunk) and unconditional forwarding

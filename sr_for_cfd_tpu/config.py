@@ -330,6 +330,20 @@ class SolverSettings:
                 "oscillatory error modes these flows produce; see "
                 "ops/extrapolate.py)"
             )
+        if self.rre_every > 0:
+            cycle = self.rre_every * (self.rre_depth + 1)
+            if self.chunk_size < cycle:
+                # the snapshot buffer is chunk-local (solver/simple.py
+                # run_chunk, parallel/spmd_step.py _make_chunk): a chunk
+                # shorter than one full cycle would silently never jump
+                raise ValueError(
+                    f"rre_every={self.rre_every} with rre_depth="
+                    f"{self.rre_depth} needs rre_every*(rre_depth+1)="
+                    f"{cycle} iterations per chunk to fire, but "
+                    f"chunk_size={self.chunk_size}; raise chunk_size "
+                    "(RRE targets long single-dispatch solves) or lower "
+                    "rre_every/rre_depth"
+                )
         if self.steps_per_kernel < 1:
             # 0 would freeze the chunk loop: count/i advance by this value
             raise ValueError("steps_per_kernel must be >= 1")

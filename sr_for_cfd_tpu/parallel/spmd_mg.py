@@ -52,6 +52,7 @@ from ..ops.multigrid import (
 )
 from ..ops.pallas_mg import _resize_matrix
 from ..ops.sweeps import stall_update, stalled
+from .vma import vary as _vary
 
 # keep a level sharded only while every rank holds at least this many of
 # its rows (below that the halo exchanges outweigh the local smoothing)
@@ -178,13 +179,8 @@ def make_spmd_mg_solve(plan: SpmdMGPlan, axis: str, n_dev: int, *,
         return jax.lax.axis_index(axis)
 
     def vary(x):
-        """Mark fresh (device-invariant) zeros as varying over the mesh
-        axis: loop carries must keep one vma type, and every RHS they
-        meet is derived from sharded data (jax's shard_map vma check).
-        No-op when the value is already varying (pcast rejects that)."""
-        if axis in getattr(jax.typeof(x), "vma", ()):
-            return x
-        return jax.lax.pcast(x, (axis,), to="varying")
+        # fresh zeros are 'replicated'; loop carries meet 'varying' RHSs
+        return _vary(x, axis)
 
     def assemble0(x, h=1):
         """1-row halo extension with ZERO exterior at the domain edges

@@ -56,6 +56,7 @@ from ..ops.stencil import (
 )
 from ..ops.sweeps import optimal_sor, stall_update, stalled
 from ..solver.state import SolverState, init_state, inlet_profile
+from .vma import vary as _vary
 
 
 class SpmdState(NamedTuple):
@@ -476,10 +477,7 @@ def _make_step(case: CaseConfig, profile: Optional[BFSInletProfile],
             do = jnp.logical_and(at_check, full)
             # the drift branch's outputs derive from sharded bands (vma
             # 'varying' over the mesh axis); the zero branch must match
-            # (spmd_mg.vary has the same note)
-            zero = jnp.asarray(0.0, rms.dtype)
-            if axis not in getattr(jax.typeof(zero), "vma", (axis,)):
-                zero = jax.lax.pcast(zero, (axis,), to="varying")
+            zero = _vary(jnp.asarray(0.0, rms.dtype), axis)
 
             def drift():
                 # local abs-max only (the expensive band reduction); the
@@ -537,7 +535,6 @@ def _make_chunk(case: CaseConfig, profile, mesh: Mesh, axis: str,
                 n_steps: int):
     step = _make_step(case, profile, mesh, axis)
     st = case.settings
-    check_vma = not st.use_pallas
     use_rre = st.rre_every > 0
     if use_rre:
         from ..ops import extrapolate as rre
@@ -547,12 +544,7 @@ def _make_chunk(case: CaseConfig, profile, mesh: Mesh, axis: str,
         K = st.rre_depth
 
     def vary(x):
-        """Mark fresh (device-invariant) values as varying over the mesh
-        axis (cf. spmd_mg.vary); no-op on the Pallas path, where
-        check_vma is off and vma is untracked."""
-        if not check_vma or axis in getattr(jax.typeof(x), "vma", ()):
-            return x
-        return jax.lax.pcast(x, (axis,), to="varying")
+        return _vary(x, axis)
 
     def rre_stage(s: SpmdState, buf):
         """Decomposed reduced-rank extrapolation: same snapshot cadence,

@@ -101,3 +101,11 @@ def test_rre_rejects_noise_floor():
 def test_rre_depth_validation():
     with pytest.raises(ValueError, match="rre_depth"):
         make_cavity_solver(Re=100, nx=8, ny=8, rre_every=100, rre_depth=1)
+
+
+def test_rre_chunk_size_validation():
+    """A chunk shorter than one snapshot cycle would silently never jump
+    (the buffer is chunk-local) - refused at config time instead."""
+    with pytest.raises(ValueError, match="chunk_size"):
+        make_cavity_solver(Re=100, nx=8, ny=8, rre_every=100,
+                           chunk_size=500)  # needs 100*(6+1)=700

@@ -598,8 +598,12 @@ def test_spmd_rre_accelerates_convergence():
 
 
 @pytest.mark.parametrize("extra", [
-    dict(pressure_solver="multigrid", dtype="float64"),  # sharded V-cycles
-    dict(use_pallas=True, dtype="float32"),  # per-shard Pallas sweep
+    # sharded V-cycles (f64: tight criteria)
+    dict(pressure_solver="multigrid", dtype="float64",
+         convergence_criteria={"u": 1e-9, "v": 1e-9, "p": 1e-9}),
+    # per-shard Pallas sweep (f32: criteria above the f32 residual floor)
+    dict(use_pallas=True, dtype="float32",
+         convergence_criteria={"u": 1e-5, "v": 1e-5, "p": 1e-5}),
 ])
 def test_spmd_rre_composes_with_pressure_paths(extra):
     """RRE composes with the sharded-multigrid and per-shard-Pallas
@@ -611,9 +615,18 @@ def test_spmd_rre_composes_with_pressure_paths(extra):
     from sr_for_cfd_tpu.solver.cases import make_cavity_solver
 
     kw = dict(Re=100, nx=16, ny=16, dt=8e-3, scheme="UPWIND",
-              chunk_size=1000, max_iterations=6000,
-              rre_every=100, rre_depth=4, rre_min_count=300, **extra)
-    solver = SpmdSolver(make_cavity_solver(**kw).case, make_mesh(8, "x"))
-    local = solver.solve()
-    assert np.all(np.isfinite(solver.global_fields()["u"]))
+              chunk_size=1000, max_iterations=12000, **extra)
+    mesh = make_mesh(8, "x")
+    plain = SpmdSolver(make_cavity_solver(**kw).case, mesh)
+    s_plain = plain.solve()
+    rre = SpmdSolver(
+        make_cavity_solver(
+            **kw, rre_every=100, rre_depth=4, rre_min_count=300
+        ).case,
+        mesh,
+    )
+    local = rre.solve()
+    assert np.all(np.isfinite(rre.global_fields()["u"]))
     assert not bool(local.diverged)
+    # the jumps must actually fire: fewer iterations than the plain run
+    assert int(local.count) < int(s_plain.count)
