@@ -50,29 +50,20 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..config import QUICK
+from .pallas_step import _roll
 from .pallas_tiled import _pad_slabs, _vmem_params
 from .stencil import FaceFluxes
 from .sweeps import stall_update, stalled
 
 
 def _shift_rows(x, shift):
-    """Row (sublane) shift with replicated edges: out-of-range positions
-    only feed masked or clamped cells."""
-    k = abs(shift)
-    if shift < 0:
-        edge = jnp.concatenate([x[-1:]] * k, axis=0)
-        return jnp.concatenate([x[k:], edge], axis=0)
-    edge = jnp.concatenate([x[:1]] * k, axis=0)
-    return jnp.concatenate([edge, x[:-k]], axis=0)
+    """Row (sublane) shift with replicated edges (pallas_step._roll):
+    out-of-range positions only feed masked or clamped cells."""
+    return _roll(x, shift, 0)
 
 
 def _shift_cols(x, shift):
-    k = abs(shift)
-    if shift < 0:
-        edge = jnp.concatenate([x[:, -1:]] * k, axis=1)
-        return jnp.concatenate([x[:, k:], edge], axis=1)
-    edge = jnp.concatenate([x[:, :1]] * k, axis=1)
-    return jnp.concatenate([edge, x[:, :-k]], axis=1)
+    return _roll(x, shift, 1)
 
 
 def _sweep_kernel(x_ref, o_ref, fe_ref, fn_ref, fw_ref, fs_ref, nu_ref,
@@ -95,8 +86,14 @@ def _sweep_kernel(x_ref, o_ref, fe_ref, fn_ref, fw_ref, fs_ref, nu_ref,
     def _init():
         rms_ref[:, :] = jnp.zeros((1, 1), jnp.float32)
         out_ref[:] = jnp.zeros((R, W), jnp.float32)
-        for t in ts:
-            t[:] = jnp.zeros((H, W), jnp.float32)
+        # zero s, not t: the unconditional end-of-step slide below copies
+        # t from s in this same grid step, so zeroing t directly would be
+        # dead (t would be re-filled from uninitialized s scratch); with s
+        # zeroed the slide leaves t zeroed for step 1, the exterior-carry
+        # invariant the window masks assume (pallas_stream pass A does the
+        # same)
+        for s in ss:
+            s[:] = jnp.zeros((R, W), jnp.float32)
 
     @pl.when(jnp.logical_and(i > 0, i < n_steps - 1))
     def _compute():
@@ -189,7 +186,14 @@ def _pad_interior(x, R, nrows, W):
 def resolve_slab_rows(slab_rows: int, W: int) -> int:
     """Auto-shrink wide slabs: a (256, 2050) slab program crashes the TPU
     compile helper (measured at 2048^2); ~1 MiB slabs compile fine and
-    the pipeline cost is slab-count-insensitive (module docstring)."""
+    the pipeline cost is slab-count-insensitive (module docstring).
+
+    Momentum-specific guard: THIS kernel streams six input windows per
+    slab, which is what blows the compile helper's budget. The sibling
+    slab pipelines (pallas_tiled: 2 windows, pallas_stream: 2-3) compile
+    and run at (256, 2050) - both are measured at 2048^2 by
+    scripts/scaling_bench.py with 256-row slabs - so they deliberately
+    do not auto-shrink."""
     R = slab_rows
     while R > 8 and R * W * 4 > (1 << 20):
         R //= 2

@@ -172,7 +172,8 @@ def _pass_a_kernel(x_ref, b_ref, *rest, R, W, nf, Ha, k1, inv_dx2, inv_dy2,
         # residual after k1 sweeps, valid on own rows (Ha = 2 k1 + 2
         # halo rows keep own +-1 neighbors exact); exterior zeroed
         r_fin = bwin - _lap_win(win, inv_dx2, inv_dy2, volp)
-        r_own = jnp.where(own & valid, r_fin, 0.0)[Ha:Ha + R]
+        # own is identically True on [Ha, Ha+R): slice first, mask after
+        r_own = jnp.where(valid[Ha:Ha + R], r_fin[Ha:Ha + R], 0.0)
 
         if coarsen_y:
             r_cols = mxu_dot_f32(r_own, rct_ref[:])
@@ -247,6 +248,10 @@ def _pass_b_kernel(x_ref, b_ref, e2_ref, xo_ref, s_x, s_b, t_x, t_b, *,
                    R, W, nf, Hb, k2, inv_dx2, inv_dy2, volp, sor,
                    coarsen_x, hbp):
     """Streamed row-prolong + correct + post-smooth."""
+    # the e2 slice offsets below algebraically absorb hbp (the coarse
+    # kernel's top-pad depth); assert the relation they encode so an
+    # e2-padding change cannot silently desynchronize the two kernels
+    assert hbp == ((Hb // 2 + 1) if coarsen_x else Hb)
     i = pl.program_id(0)
     n_steps = pl.num_programs(0)
     cur_x = x_ref[:]
