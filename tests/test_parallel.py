@@ -503,6 +503,32 @@ def test_spmd_plateau_stop():
     assert np.all(np.isfinite(solver.global_fields()["u"]))
 
 
+def test_spmd_rre_bfs_matches_single_device():
+    """Decomposed RRE on the BFS case: the snapshot ghost-row slots carry
+    the rank-0 inlet-profile ghosts (wall/parabolic mixture), so the
+    psum'd Gram matches the single-device whole-vector Gram there too -
+    fields agree to ~1e-9 a few iterations after the first jump."""
+    from sr_for_cfd_tpu.parallel.spmd_step import SpmdSolver
+    from sr_for_cfd_tpu.solver.cases import make_bfs_solver
+
+    crit = {"u": 1e-30, "v": 1e-30, "p": 1e-30}
+    kw = dict(Re=200, nx=32, ny=16, dt=2e-3, scheme="UPWIND",
+              dtype="float64", chunk_size=500, max_iterations=405,
+              convergence_criteria=crit,
+              rre_every=50, rre_depth=4, rre_min_count=200)
+    ref = make_bfs_solver(**kw)
+    ref.solve("/tmp/unused_rre_bfs", verbose=False, save_results=False)
+    assert int(ref.state.count) == 405
+
+    solver = SpmdSolver(make_bfs_solver(**kw).case, make_mesh(8, "x"))
+    local = solver.solve()
+    assert int(local.count) == 405
+    fields = solver.global_fields()
+    np.testing.assert_allclose(
+        fields["u"], np.asarray(ref.state.u), atol=1e-9
+    )
+
+
 def test_spmd_multigrid_pallas_smoother_matches_jnp():
     """use_pallas + multigrid on the decomposed path: the sharded V-cycle
     with per-rank Pallas smoother kernels (spmd_mg.smooth_band_pallas)
