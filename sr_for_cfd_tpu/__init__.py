@@ -79,4 +79,9 @@ def __getattr__(name):
         from .parallel.domain import ShardedSolver
 
         return ShardedSolver
+    if name == "batched_spmd_cavity_solve":
+        # case-parallel x domain-decomposed sweeps on a 2-D mesh
+        from .parallel.spmd_batch import batched_spmd_cavity_solve
+
+        return batched_spmd_cavity_solve
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

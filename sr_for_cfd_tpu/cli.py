@@ -206,6 +206,7 @@ def cmd_sweep(args):
         dt=args.dt, scheme=args.scheme, dtype=args.dtype,
         max_iterations=args.max_iterations,
         use_device_mesh=args.device_mesh,
+        spmd_devices=args.spmd,
         verbose=not args.quiet,
     )
     print(f"Combined dataset: {path}")
@@ -318,6 +319,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-iterations", type=int, default=100000)
     p.add_argument("--device-mesh", action="store_true",
                    help="shard cases across the device mesh")
+    p.add_argument("--spmd", type=int, default=1, metavar="M",
+                   help="decompose EACH case's grid over M devices while "
+                        "cases shard over the rest (2-D case-x-grid mesh, "
+                        "parallel/spmd_batch.py); sizes not divisible by "
+                        "M fall back to case-parallel")
     p.add_argument("--out", default="results")
     p.add_argument("--quiet", action="store_true")
     p.set_defaults(fn=cmd_sweep)

@@ -56,7 +56,7 @@ from ..ops.stencil import (
 )
 from ..ops.sweeps import optimal_sor, stall_update, stalled
 from ..solver.state import SolverState, init_state, inlet_profile
-from .vma import vary as _vary
+from .vma import vary as _vary, vary_over
 
 
 class SpmdState(NamedTuple):
@@ -331,10 +331,17 @@ def _make_step(case: CaseConfig, profile: Optional[BFSInletProfile],
                 jnp.logical_not(stalled(stale, checks)),
             )
 
-        big = jnp.asarray(jnp.inf, dtype)
+        # carry-init vma must match the body EXACTLY: the psum'd rms (and
+        # everything stall_update derives from it) is invariant over this
+        # mesh's solve axis but still varies over any OTHER manual axis
+        # the field carries (the 'case' axis of parallel/spmd_batch.py)
+        extra = frozenset(
+            getattr(jax.typeof(x_own), "vma", frozenset())) - {axis}
+        big = vary_over(jnp.asarray(jnp.inf, dtype), extra)
+        zi = vary_over(jnp.asarray(0, jnp.int32), extra)
         zero = jnp.asarray(0, jnp.int32)
         out = jax.lax.while_loop(cond, body,
-                                 (x_own, big, big, zero, zero, zero))
+                                 (x_own, big, big, zi, zero, zero))
         return out[0]
 
     def under_relax_own(x_own, old_own, a):
@@ -475,9 +482,13 @@ def _make_step(case: CaseConfig, profile: Optional[BFSInletProfile],
             at_check = (count % st.cauchy_check_every) == 0
             full = (count - s.cau_count) >= st.cauchy_check_every
             do = jnp.logical_and(at_check, full)
-            # the drift branch's outputs derive from sharded bands (vma
-            # 'varying' over the mesh axis); the zero branch must match
-            zero = _vary(jnp.asarray(0.0, rms.dtype), axis)
+            # the drift branch's outputs derive from sharded bands; the
+            # zero branch must carry the same vma (incl. a batched 'case'
+            # axis, spmd_batch.py)
+            zero = vary_over(
+                jnp.asarray(0.0, rms.dtype),
+                getattr(jax.typeof(u), "vma", frozenset()),
+            )
 
             def drift():
                 # local abs-max only (the expensive band reduction); the

@@ -22,3 +22,21 @@ def vary(x, axis: str):
     if axis in getattr(jax.typeof(x), "vma", ()):
         return x
     return jax.lax.pcast(x, (axis,), to="varying")
+
+
+def vary_over(x, axes):
+    """pcast `x` to varying over whichever of `axes` it lacks.
+
+    Loop-carry initializers must match the vma of the body's outputs
+    EXACTLY (over-varying is as much a mismatch as under-varying), and
+    the right set depends on the mesh: a scalar psum'd over 'x' is
+    invariant on a 1-D 'x' mesh but still varies over 'case' on the 2-D
+    ('case', 'x') mesh of `parallel/spmd_batch.py`. Callers compute the
+    target set from the data's own vma at trace time (zero runtime
+    cost); under check_vma=False both sides read as empty and this is a
+    no-op."""
+    have = getattr(jax.typeof(x), "vma", frozenset())
+    missing = tuple(a for a in sorted(axes) if a not in have)
+    if not missing:
+        return x
+    return jax.lax.pcast(x, missing, to="varying")

@@ -180,6 +180,7 @@ def generate_training_data(
     scheme: str = "QUICK",
     combined_name: Optional[str] = None,
     use_device_mesh: bool = False,
+    spmd_devices: int = 1,
     verbose: bool = True,
     **kw,
 ) -> str:
@@ -187,7 +188,13 @@ def generate_training_data(
     `results/simulation_result_double_lid.h5` layout, data notebook cell 2).
     Returns the combined file path. Per-mesh-size batches are isolated so
     one diverging size doesn't kill the sweep (reference wraps each case in
-    try/except)."""
+    try/except).
+
+    `spmd_devices=M > 1` decomposes EACH case's grid M ways while cases
+    shard over the remaining devices (the 2-D ('case', 'x') composition,
+    `parallel/spmd_batch.py`) - for fine-grid sweeps with fewer
+    concurrent cases than chips. Mesh sizes not divisible by M fall back
+    to the case-parallel path with a printed notice."""
     os.makedirs(output_dir, exist_ok=True)
     bc_label = (
         "double_lid(u_top=1,u_bottom=1)" if double_lid else "lid_driven_cavity"
@@ -206,11 +213,30 @@ def generate_training_data(
     res_list = list(reynolds_numbers)
     for size in mesh_sizes:
         try:
-            fields, iters = batched_cavity_solve(
-                res_list, size, size, dt=dt, scheme=scheme,
-                double_lid=double_lid, mesh_devices=mesh_devices,
-                verbose=verbose, **kw,
-            )
+            if spmd_devices > 1 and size % spmd_devices == 0:
+                from ..parallel.spmd_batch import (
+                    batched_spmd_cavity_solve,
+                    make_case_x_mesh,
+                )
+
+                n_case = max(1, len(jax.devices()) // spmd_devices)
+                while len(res_list) % n_case != 0:
+                    n_case -= 1
+                fields, iters = batched_spmd_cavity_solve(
+                    res_list, size, size,
+                    make_case_x_mesh(n_case, spmd_devices),
+                    dt=dt, scheme=scheme, double_lid=double_lid,
+                    verbose=verbose, **kw,
+                )
+            else:
+                if spmd_devices > 1:
+                    print(f"  mesh {size}x{size}: nx % {spmd_devices} != 0"
+                          " - running case-parallel (no decomposition)")
+                fields, iters = batched_cavity_solve(
+                    res_list, size, size, dt=dt, scheme=scheme,
+                    double_lid=double_lid, mesh_devices=mesh_devices,
+                    verbose=verbose, **kw,
+                )
         except Exception as e:  # per-size error isolation
             print(f"  sweep error for mesh {size}x{size}: {e}")
             continue

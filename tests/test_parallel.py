@@ -529,6 +529,46 @@ def test_spmd_rre_bfs_matches_single_device():
     )
 
 
+def test_batched_spmd_solve_matches_single_device():
+    """Case-parallel x domain decomposition (parallel/spmd_batch.py): two
+    cavity cases on a 2x4 ('case','x') mesh - each case's grid split 4
+    ways, cases sharded pairwise - match their single-device solves to
+    f64 rounding, with per-case convergence counts preserved (the masked
+    outer loop freezes the early-converging case)."""
+    import jax
+    from jax.sharding import Mesh
+
+    from sr_for_cfd_tpu.parallel.spmd_batch import (
+        batched_spmd_cavity_solve,
+        make_case_x_mesh,
+    )
+    from sr_for_cfd_tpu.solver.cases import make_cavity_solver
+
+    res = [100.0, 300.0]
+    kw = dict(nx=16, ny=16, dt=4e-3, scheme="QUICK", dtype="float64",
+              max_iterations=6000, chunk_size=500, double_lid=False)
+    mesh = make_case_x_mesh(2, 4)
+    fields, counts = batched_spmd_cavity_solve(
+        res, verbose=False, mesh=mesh, **kw
+    )
+    assert set(fields) == set(res)
+
+    for i, re_val in enumerate(res):
+        ref = make_cavity_solver(Re=re_val, **kw)
+        ref.solve(f"/tmp/unused_bspmd{i}", verbose=False,
+                  save_results=False)
+        assert int(counts[i]) == int(ref.state.count), re_val
+        ref_int = {k: np.asarray(getattr(ref.state, k))[1:-1, 1:-1].T
+                   for k in ("u", "v", "p")}
+        for k in ("u", "v", "p"):
+            np.testing.assert_allclose(
+                fields[re_val][k], ref_int[k], atol=1e-12, err_msg=k
+            )
+    # the two cases genuinely converge at different counts (the mask
+    # freeze is exercised, not vacuous)
+    assert int(counts[0]) != int(counts[1])
+
+
 def test_spmd_multigrid_pallas_smoother_matches_jnp():
     """use_pallas + multigrid on the decomposed path: the sharded V-cycle
     with per-rank Pallas smoother kernels (spmd_mg.smooth_band_pallas)
