@@ -569,6 +569,26 @@ def test_batched_spmd_solve_matches_single_device():
     assert int(counts[0]) != int(counts[1])
 
 
+def test_generate_training_data_spmd_routing(tmp_path):
+    """The sweep driver routes divisible mesh sizes through the 2-D
+    case-x-grid decomposition and falls back (with a notice) for the
+    rest; both land in the combined HDF5 with the reference schema."""
+    import h5py
+
+    from sr_for_cfd_tpu.workflow.sweep import generate_training_data
+
+    path = generate_training_data(
+        reynolds_numbers=[100, 200], mesh_sizes=[16, 10],
+        output_dir=str(tmp_path), spmd_devices=4,
+        dt=8e-3, scheme="UPWIND", dtype="float64",
+        max_iterations=3000, verbose=False,
+    )
+    with h5py.File(path) as f:
+        groups = sorted(f.keys())
+    assert groups == ["Re100_mesh10x10", "Re100_mesh16x16",
+                      "Re200_mesh10x10", "Re200_mesh16x16"]
+
+
 def test_spmd_multigrid_pallas_smoother_matches_jnp():
     """use_pallas + multigrid on the decomposed path: the sharded V-cycle
     with per-rank Pallas smoother kernels (spmd_mg.smooth_band_pallas)
