@@ -193,14 +193,16 @@ def batched_spmd_cavity_solve(
             "path (the snapshot buffer is per-case chunk state); use "
             "SpmdSolver for a single extrapolated decomposed solve"
         )
-    if (settings_kw.get("pressure_solver", "sweeps") != "sweeps"
+    if (settings_kw.get("pressure_solver", "sweeps") not in
+            ("sweeps", "multigrid")
             or settings_kw.get("use_pallas")
             or settings_kw.get("fused_step")):
         raise ValueError(
-            "the case-batched decomposed path runs the reference-"
-            "semantics sweeps step only (the data-generation contract); "
-            "for multigrid or Pallas inner solves decompose one case at "
-            "a time with SpmdSolver"
+            "the case-batched decomposed path runs the jnp sweeps or "
+            "sharded-multigrid pressure solves (vmap carries their "
+            "collectives; the Pallas kernels are single-case) - for "
+            "Pallas inner solves decompose one case at a time with "
+            "SpmdSolver"
         )
     settings_kw.setdefault("chunk_size", chunk_size)
     solver = make_cavity_solver(
