@@ -100,7 +100,7 @@ def _batched_local(case: CaseConfig, n: int, mesh: Mesh,
 
 
 def _make_batched_chunk(case: CaseConfig, profile, mesh: Mesh,
-                        caxis: str, xaxis: str, n_steps: int):
+                        xaxis: str, n_steps: int):
     step = _make_step(case, profile, mesh, xaxis)
     st = case.settings
 
@@ -148,10 +148,11 @@ def _make_batched_chunk(case: CaseConfig, profile, mesh: Mesh,
     # while_loop batching rule select-freezes each finished case - so
     # per-case trajectories still match their solo runs exactly.
     specs = _batched_specs(xaxis)
+    # check_vma stays on: this path refuses use_pallas (the only reason
+    # the single-case chunk ever turns it off)
     return jax.jit(jax.shard_map(
         chunk, mesh=mesh, axis_names=frozenset({xaxis}),
         in_specs=(specs, P()), out_specs=specs,
-        check_vma=not st.use_pallas,
     ))
 
 
@@ -221,8 +222,7 @@ def batched_spmd_cavity_solve(
         NamedSharding(mesh, P(case_axis)),
     )
     chunk_fn = _make_batched_chunk(
-        case, profile, mesh, case_axis, x_axis,
-        case.settings.chunk_size,
+        case, profile, mesh, x_axis, case.settings.chunk_size,
     )
 
     while True:

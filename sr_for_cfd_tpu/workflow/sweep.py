@@ -213,6 +213,7 @@ def generate_training_data(
     res_list = list(reynolds_numbers)
     for size in mesh_sizes:
         try:
+            fields = None
             if spmd_devices > 1 and size % spmd_devices == 0:
                 from ..parallel.spmd_batch import (
                     batched_spmd_cavity_solve,
@@ -222,16 +223,25 @@ def generate_training_data(
                 n_case = max(1, len(jax.devices()) // spmd_devices)
                 while len(res_list) % n_case != 0:
                     n_case -= 1
-                fields, iters = batched_spmd_cavity_solve(
-                    res_list, size, size,
-                    make_case_x_mesh(n_case, spmd_devices),
-                    dt=dt, scheme=scheme, double_lid=double_lid,
-                    verbose=verbose, **kw,
-                )
-            else:
-                if spmd_devices > 1:
-                    print(f"  mesh {size}x{size}: nx % {spmd_devices} != 0"
-                          " - running case-parallel (no decomposition)")
+                try:
+                    fields, iters = batched_spmd_cavity_solve(
+                        res_list, size, size,
+                        make_case_x_mesh(n_case, spmd_devices),
+                        dt=dt, scheme=scheme, double_lid=double_lid,
+                        verbose=verbose, **kw,
+                    )
+                except ValueError as e:
+                    # precondition failures (too few devices, settings
+                    # the batched path refuses) are raised before any
+                    # solve runs - fall back rather than dropping the
+                    # mesh size from the dataset
+                    if verbose:
+                        print(f"  mesh {size}x{size}: decomposed path "
+                              f"unavailable ({e}) - running case-parallel")
+            elif spmd_devices > 1 and verbose:
+                print(f"  mesh {size}x{size}: nx % {spmd_devices} != 0"
+                      " - running case-parallel (no decomposition)")
+            if fields is None:
                 fields, iters = batched_cavity_solve(
                     res_list, size, size, dt=dt, scheme=scheme,
                     double_lid=double_lid, mesh_devices=mesh_devices,
