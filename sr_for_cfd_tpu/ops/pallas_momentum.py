@@ -252,6 +252,16 @@ def tiled_solve_momentum(
     k_sweeps = max(1, check_every)
     H = (3 if quick else 2) * k_sweeps
     if R < H:
+        if R < slab_rows:
+            # the width-based compile-budget cap shrank R below the halo:
+            # raising slab_rows CANNOT help (resolve_slab_rows re-caps it);
+            # the only real remedies are fewer sweeps per pass or a
+            # narrower grid
+            raise ValueError(
+                f"slab_rows auto-shrunk to {R} at width {W} (compile-"
+                f"budget cap), below the {H}-row halo ({k_sweeps} "
+                f"sweeps/pass) - lower check_every (raising slab_rows "
+                f"cannot help at this width)")
         raise ValueError(
             f"slab_rows={R} smaller than the {H}-row halo "
             f"({k_sweeps} sweeps/pass) - raise slab_rows or lower "

@@ -30,6 +30,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops.stencil import FaceFluxes
 from ..ops.sweeps import optimal_sor, stall_update, stalled
+from .mesh import ring_perms
 
 # (mesh, static config) -> compiled shard_map solver; built once per config
 _SOLVER_CACHE: Dict[Tuple, object] = {}
@@ -68,8 +69,7 @@ def shardmap_solve_pressure(
     n_cells = nx * ny
     # same clamp as solve_pressure (result compatibility)
     sor = min(sor, optimal_sor(nx, ny))
-    fwd = [(i, (i + 1) % n_dev) for i in range(n_dev)]
-    bwd = [(i, (i - 1) % n_dev) for i in range(n_dev)]
+    fwd, bwd = ring_perms(n_dev)
 
     b_int = (rho / dt) * ff.divergence_sum()          # (nx, ny)
     p_int = p[1:-1, 1:-1]                             # (nx, ny) unknowns
@@ -148,7 +148,12 @@ def shardmap_solve_pressure(
         mesh, axis, nx, ny, str(p.dtype), dx, dy, dt, rho, volp, tol,
         max_iter, sor,
     )
-    if cache_key not in _SOLVER_CACHE:
+    if cache_key in _SOLVER_CACHE:
+        # LRU, not FIFO: refresh recency on hit (same policy as
+        # spmd_step._CHUNK_CACHE) so a workload cycling >16 keys evicts
+        # the coldest compiled executable, not potentially the hottest
+        _SOLVER_CACHE[cache_key] = _SOLVER_CACHE.pop(cache_key)
+    else:
         while len(_SOLVER_CACHE) >= _SOLVER_CACHE_MAX:
             _SOLVER_CACHE.pop(next(iter(_SOLVER_CACHE)))
         _SOLVER_CACHE[cache_key] = jax.jit(

@@ -25,6 +25,17 @@ def make_mesh(
     return Mesh(np.array(devices), (axis_name,))
 
 
+def ring_perms(n_dev: int):
+    """(fwd, bwd) `lax.ppermute` pair lists for the 1-D ring used by every
+    explicit halo exchange (spmd_step / spmd_mg / halo): fwd sends rank i's
+    payload to rank i+1 (a rank RECEIVES its lower neighbor's rows), bwd
+    the reverse. One definition so the step, MG, and pressure paths can
+    never desynchronize on ring topology."""
+    fwd = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+    bwd = [(i, (i - 1) % n_dev) for i in range(n_dev)]
+    return fwd, bwd
+
+
 def batch_sharding(mesh: Mesh, axis_name: str = "dp") -> NamedSharding:
     """Shard the leading (batch/case) axis across the mesh."""
     return NamedSharding(mesh, P(axis_name))

@@ -52,6 +52,7 @@ from ..ops.multigrid import (
 )
 from ..ops.pallas_mg import _resize_matrix
 from ..ops.sweeps import stall_update, stalled
+from .mesh import ring_perms
 from .vma import vary as _vary
 
 # keep a level sharded only while every rank holds at least this many of
@@ -166,8 +167,7 @@ def make_spmd_mg_solve(plan: SpmdMGPlan, axis: str, n_dev: int, *,
     sweep with redundant halo-row recompute, each rank's block
     VMEM-resident. Transfers stay MXU matmuls and the replicated coarse
     tail stays jnp - the smoother is where the sweep FLOPs are."""
-    fwd = [(i, (i + 1) % n_dev) for i in range(n_dev)]
-    bwd = [(i, (i - 1) % n_dev) for i in range(n_dev)]
+    fwd, bwd = ring_perms(n_dev)
     nx0, ny0 = plan.sizes[0]
     n_cells = nx0 * ny0
     hi = jax.lax.Precision.HIGHEST
@@ -306,8 +306,6 @@ def make_spmd_mg_solve(plan: SpmdMGPlan, axis: str, n_dev: int, *,
 
     def solve(x_band, b_band):
         dtype = x_band.dtype
-        inv_dx2, inv_dy2 = plan.spacings[0]
-        volp0 = plan.volp_levels[0]
 
         if plan.n_shard == 0:
             # degenerate decomposition (too few rows per rank): run the

@@ -56,6 +56,7 @@ from ..ops.stencil import (
 )
 from ..ops.sweeps import optimal_sor, stall_update, stalled
 from ..solver.state import SolverState, init_state, inlet_profile
+from .mesh import ring_perms
 from .vma import vary as _vary, vary_over
 
 
@@ -198,6 +199,17 @@ def _make_step(case: CaseConfig, profile: Optional[BFSInletProfile],
     nx, ny = mcfg.nx, mcfg.ny
     n_dev = mesh.shape[axis]
     rows = nx // n_dev
+    if rows < 2:
+        # assemble() fetches a 2-row halo from the IMMEDIATE neighbor
+        # (QUICK's +-2 stencil and the pressure-RHS extension both need
+        # it); a 1-row band would silently broadcast the single neighbor
+        # row into both halo slots (jnp.where broadcasting), producing
+        # wrong fields instead of an error.
+        raise ValueError(
+            f"nx={nx} over {n_dev} '{axis}' devices leaves {rows} interior "
+            f"row(s) per rank; the halo exchange needs at least 2 "
+            f"(use a coarser mesh axis or a finer grid)"
+        )
     dx, dy, volp, dt = mcfg.dx, mcfg.dy, mcfg.volp, st.dt
     rho = fluid.rho
     quick = st.scheme == QUICK
@@ -220,8 +232,7 @@ def _make_step(case: CaseConfig, profile: Optional[BFSInletProfile],
             use_pallas=use_pallas_p, interpret=pallas_interpret,
         )
     alpha = {k: st.relax(k) for k in ("u", "v", "p")}
-    fwd = [(i, (i + 1) % n_dev) for i in range(n_dev)]
-    bwd = [(i, (i - 1) % n_dev) for i in range(n_dev)]
+    fwd, bwd = ring_perms(n_dev)
     bcs = {0: case.u_bc, 1: case.v_bc, 2: case.p_bc}
 
     def rank_of():

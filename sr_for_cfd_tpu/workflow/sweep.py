@@ -238,6 +238,15 @@ def generate_training_data(
                     if verbose:
                         print(f"  mesh {size}x{size}: decomposed path "
                               f"unavailable ({e}) - running case-parallel")
+                except Exception as e:  # noqa: BLE001
+                    # runtime failures too (XLA runtime error, OOM on the
+                    # 2-D mesh, collective abort): the case-parallel path
+                    # can still produce this size's data, so never let a
+                    # decomposed-path crash drop it from the dataset
+                    fields = None
+                    print(f"  mesh {size}x{size}: decomposed solve FAILED "
+                          f"({type(e).__name__}: {e}) - retrying "
+                          f"case-parallel")
             elif spmd_devices > 1 and verbose:
                 print(f"  mesh {size}x{size}: nx % {spmd_devices} != 0"
                       " - running case-parallel (no decomposition)")

@@ -126,6 +126,18 @@ def test_spmd_solver_rejects_nondivisible_interior():
         SpmdSolver(case, make_mesh(8, "x"))
 
 
+def test_spmd_solver_rejects_band_narrower_than_halo():
+    # nx=8 over 8 devices leaves 1 interior row per rank: assemble()'s
+    # 2-row halo would silently broadcast the single neighbor row into
+    # both halo slots (wrong physics, no error) - must be rejected loudly
+    from sr_for_cfd_tpu.parallel.spmd_step import SpmdSolver
+    from sr_for_cfd_tpu.solver.cases import make_cavity_solver
+
+    case = make_cavity_solver(Re=100, nx=8, ny=8).case
+    with pytest.raises(ValueError, match="halo"):
+        SpmdSolver(case, make_mesh(8, "x"))
+
+
 def test_gspmd_sharded_solver_with_multigrid():
     """GSPMD decomposition composes with the multigrid pressure solver
     (jax.image.resize partitions under SPMD): matches single-device."""
