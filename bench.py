@@ -93,9 +93,12 @@ def _build(mode, n_iters):
 
 
 def _time_mode(mode):
-    """(iterations/sec, ms/step): best of 3 single-dispatch chunks, each
-    from a perturbed fresh state so the remote (executable, inputs) result
-    cache cannot short-circuit."""
+    """(iterations/sec, ms/step, median ms/step): best and median of 3
+    single-dispatch chunks, each from a perturbed fresh state so the
+    remote (executable, inputs) result cache cannot short-circuit. The
+    headline uses the best rep (a relay stall can only inflate a rep,
+    never deflate it); the median is recorded alongside so the claim is
+    checkable against run-to-run spread (~5% on this chip)."""
     import jax
 
     from sr_for_cfd_tpu.solver.state import init_state
@@ -112,7 +115,7 @@ def _time_mode(mode):
     state = solver._chunk_fn(solver.state, solver.profile)  # compile+warm
     force(state.u)
 
-    best = float("inf")
+    per_step = []
     for rep in range(3):
         fresh = init_state(solver.case)
         fresh = fresh._replace(
@@ -125,8 +128,12 @@ def _time_mode(mode):
         elapsed = time.time() - t0
         iters = int(state.count)
         if iters == BENCH_ITERS and elapsed / iters > 1e-5:
-            best = min(best, elapsed / iters)
-    return 1.0 / best, best * 1e3
+            per_step.append(elapsed / iters)
+    if not per_step:  # every rep rejected (stall so bad iters!=budget)
+        return 0.0, float("inf"), float("inf")
+    best = min(per_step)
+    median = sorted(per_step)[len(per_step) // 2]
+    return 1.0 / best, best * 1e3, median * 1e3
 
 
 def _pallas_parity_gate():
@@ -340,9 +347,10 @@ def main():
 
     perf = {}
     for mode in modes:
-        ips, ms = _time_mode(mode)
+        ips, ms, ms_med = _time_mode(mode)
         perf[mode] = {"iters_per_sec": round(ips, 2),
                       "device_ms_per_step": round(ms, 3),
+                      "ms_per_step_median_of_3": round(ms_med, 3),
                       "vs_baseline": round(ips / BASELINE_ITERS_PER_SEC, 2)}
 
     # counts measured on the ACTUAL benched paths: the fused kernels
