@@ -13,7 +13,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-GRIDS = (512, 768, 1024, 2048)
+GRIDS = (512, 768, 1024, 2048, 4096)
 # 200-iteration single-dispatch chunks amortize the ~25 ms relay round
 # trip (<3% at 1024^2; see bench.py)
 ITERS = int(os.environ.get("SCALE_ITERS", 200))

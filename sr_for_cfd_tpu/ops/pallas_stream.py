@@ -6,10 +6,11 @@ whole grid + hierarchy on-chip and die at ~900^2 f32; beyond that the only
 prior Pallas option was the tiled reference-semantics sweep
 (ops/pallas_tiled.py) - the wrong algorithm for the regime (bandwidth-
 optimal per sweep, but point iteration needs O(N) sweeps where multigrid
-needs O(1) cycles). This module streams the V-cycle's FINE level through
-VMEM in row slabs while the coarse sub-hierarchy (from nf/2 down) stays
-VMEM-resident, so the per-cycle HBM traffic is ~6 fine-array passes
-instead of the jnp path's 2 passes per half-sweep:
+needs O(1) cycles). This module streams the V-cycle's FINE levels through
+VMEM in row slabs - RECURSIVELY: every level too big for the resident
+coarse kernel streams (at 4096^2 the 4096 and 2048 levels stream, 1024
+down stays resident) - so the per-cycle HBM traffic is ~6 fine-array
+passes instead of the jnp path's 2 passes per half-sweep:
 
   pass A  (streamed)  k1 = n_pre red-black sweeps + residual + restrict,
                       ONE pass over HBM: wide halos (2*k1+2 rows) let all
@@ -17,12 +18,20 @@ instead of the jnp path's 2 passes per half-sweep:
                       recompute, the same lag-one double-buffer mechanics
                       as ops/pallas_tiled.py; also emits the ENTRY
                       residual RMS (the convergence measure, see below)
-  coarse  (resident)  one recursive V-cycle on levels 1.. - the same
-                      operators/smoother as ops/pallas_mg.py (shared
-                      `make_level_ops`), plus the column prolongation
-                      matmul, in one kernel
+  coarse              the level-1 correction: one V-cycle on levels 1..
+                      as ONE VMEM-resident kernel when the sub-hierarchy
+                      fits (same operators/smoother as ops/pallas_mg.py,
+                      shared `make_level_ops`), RECURSING this module's
+                      streaming onto level 1 when it doesn't
+                      (RESIDENT_SUB_CELLS_MAX)
   pass B  (streamed)  row-prolong + correct + k2 = n_post sweeps,
                       one pass over HBM
+
+Past ~2560^2 the pass kernels themselves outgrow VMEM (the dense column
+transfer operand alone is 32 MiB at 4096^2) and switch to the `wide`
+hand-off layout (WIDE_VMEM_BYTES): per-slab restriction partials that
+XLA overlap-adds, column matmuls at HIGHEST precision outside the
+kernel, and e2 pre-sliced into per-slab windows.
 
 Fine-level transfer operators: `jax.image.resize(linear)` at exact 2x is
 a stride-2 [1,3,3,1]/8 conv (restriction; boundary rows renormalize to
@@ -75,6 +84,24 @@ from .sweeps import stall_update, stalled
 # stream_mg_solve_pressure)
 SLAB_ROWS = 256
 
+# Ceiling (cells) on the TOP level of the VMEM-resident coarse kernel's
+# sub-hierarchy. A 1024^2-top hierarchy (4096^2 fine grid streamed twice,
+# or 2048^2 streamed once) compiles and runs; a 2048^2-top one needs
+# >128 MiB of VMEM (live 16.8 MiB level arrays during smoothing + ~40 MiB
+# of transfer matrices + the e2 output) and SIGABRTs the TPU compiler
+# (observed at 4096^2, 2026-08-18). Past the ceiling the coarse correction
+# RECURSES the slab streaming onto level 1 instead.
+RESIDENT_SUB_CELLS_MAX = 1_500_000
+
+# Per-pass VMEM estimate (double-buffered blocks + scratch, bytes) above
+# which the streaming passes switch to the `wide` hand-off layout (no
+# in-kernel column matmul, per-slab restriction partials, pre-sliced e2
+# windows). Silicon calibration on v5e: 2048^2 estimates 42 MiB and
+# compiles; 2560^2 estimates 60 MiB and SIGABRTs the TPU compiler -
+# Mosaic's window temporaries eat the headroom under the 100 MiB scoped
+# budget long before the budget itself is reached.
+WIDE_VMEM_BYTES = 50 * 1024 * 1024
+
 
 def _row_restrict_norm(nc: int, scale: float, coarsen_x: bool):
     """Per-coarse-row normalization of the unnormalized [1,3,3,1] stride-2
@@ -118,9 +145,16 @@ def _lap_win(f, inv_dx2, inv_dy2, volp):
 
 
 def _pass_a_kernel(x_ref, b_ref, *rest, R, W, nf, Ha, k1, inv_dx2, inv_dy2,
-                   volp, sor, coarsen_x, coarsen_y):
-    """Streamed pre-smooth + entry-rms + residual + restrict."""
-    if coarsen_y:
+                   volp, sor, coarsen_x, coarsen_y, wide=False):
+    """Streamed pre-smooth + entry-rms + residual + restrict.
+
+    `wide` (the hand-off layout for very large grids, see
+    `_make_streamed_cycle`): no in-kernel column restriction (the dense
+    RcT operand alone is 32 MiB at 4096^2) and the restricted rows are
+    emitted as PER-SLAB partial blocks at fine column width instead of
+    accumulated into one VMEM-resident rc array - XLA overlap-adds the
+    partials and applies the column matmul outside the kernel."""
+    if coarsen_y and not wide:
         rct_ref = rest[0]
         rest = rest[1:]
     else:
@@ -143,6 +177,13 @@ def _pass_a_kernel(x_ref, b_ref, *rest, R, W, nf, Ha, k1, inv_dx2, inv_dy2,
         # here (unlike pallas_tiled, whose carry rows are never read)
         s_x[:] = jnp.zeros((R, W), jnp.float32)
         s_b[:] = jnp.zeros((R, W), jnp.float32)
+
+    if wide:
+        # every step owns a distinct partial block: blocks the compute
+        # branch below skips (first/last) must still be zeroed
+        @pl.when(i == n_steps - 1)
+        def _zero_tail_partial():
+            rc_ref[:] = jnp.zeros(rc_ref.shape, jnp.float32)
 
     @pl.when(jnp.logical_and(i > 0, i < n_steps - 1))
     def _compute():
@@ -170,12 +211,18 @@ def _pass_a_kernel(x_ref, b_ref, *rest, R, W, nf, Ha, k1, inv_dx2, inv_dy2,
         xo_ref[:] = win[Ha:Ha + R]
 
         # residual after k1 sweeps, valid on own rows (Ha = 2 k1 + 2
-        # halo rows keep own +-1 neighbors exact); exterior zeroed
+        # halo rows keep own +-1 neighbors exact); exterior zeroed.
+        # Mask-then-slice, NEVER slice the i1 mask: sublane-slicing a
+        # bool vector at the unaligned offset Ha crashes Mosaic's
+        # ApplyVectorLayoutPass ("Check failed: limits[i] <= dim(i)" in
+        # vector_extract_strided_slice under scf_if) when W's lane-tile
+        # count is not a power of two (1280/2560/3072 fail, 1024/2048
+        # compile; isolated on v5e 2026-08-18). Slicing the f32 result
+        # at the same offset is handled fine.
         r_fin = bwin - _lap_win(win, inv_dx2, inv_dy2, volp)
-        # own is identically True on [Ha, Ha+R): slice first, mask after
-        r_own = jnp.where(valid[Ha:Ha + R], r_fin[Ha:Ha + R], 0.0)
+        r_own = jnp.where(valid, r_fin, 0.0)[Ha:Ha + R]
 
-        if coarsen_y:
+        if coarsen_y and not wide:
             r_cols = mxu_dot_f32(r_own, rct_ref[:])
         else:
             r_cols = r_own
@@ -183,18 +230,32 @@ def _pass_a_kernel(x_ref, b_ref, *rest, R, W, nf, Ha, k1, inv_dx2, inv_dy2,
         if coarsen_x:
             # unnormalized [1,3,3,1] stride-2 row conv; per-row norms
             # (1/8 interior, 1/7 boundary, x restriction scale) are
-            # applied in the coarse kernel after cross-slab accumulation
+            # applied in the coarse kernel (or the XLA hand-off, wide
+            # mode) after cross-slab accumulation
             rp = jnp.concatenate(
                 [jnp.zeros((3, mcc), jnp.float32), r_cols,
                  jnp.zeros((3, mcc), jnp.float32)], axis=0)
             half = rp.reshape((R + 6) // 2, 2, mcc)
             ev, od = half[:, 0], half[:, 1]
             u = ev[:-1] + 3.0 * od[:-1] + 3.0 * ev[1:] + od[1:]
-            # global c0 = c0p - 1 (rc carries one top pad row); R % 16
-            # keeps the store offset sublane-aligned (Mosaic requires a
-            # provable multiple of 8 for dynamic dim-0 indices)
-            c0p = pl.multiple_of((i - 1) * (R // 2), 8)
-            rc_ref[pl.ds(c0p, R // 2 + 2), :] += u
+            if wide:
+                # pad the (R/2 + 2)-row partial to the block's 8-aligned
+                # height (Mosaic: tiled block dims must divide by 8)
+                pad = rc_ref.shape[0] - u.shape[0]
+                rc_ref[:] = jnp.concatenate(
+                    [u, jnp.zeros((pad, u.shape[1]), jnp.float32)], axis=0)
+            else:
+                # global c0 = c0p - 1 (rc carries one top pad row); R %
+                # 16 keeps the store offset sublane-aligned (Mosaic
+                # requires a provable multiple of 8 for dynamic dim-0
+                # indices)
+                c0p = pl.multiple_of((i - 1) * (R // 2), 8)
+                rc_ref[pl.ds(c0p, R // 2 + 2), :] += u
+        elif wide:
+            pad = rc_ref.shape[0] - r_cols.shape[0]
+            rc_ref[:] = jnp.concatenate(
+                [r_cols, jnp.zeros((pad, r_cols.shape[1]), jnp.float32)],
+                axis=0)
         else:
             # identity rows: no top pad (an offset of (i-1)R + 1 would be
             # sublane-misaligned; the coarse kernel reads rows [0, nf))
@@ -246,8 +307,12 @@ def _coarse_kernel(rc_ref, *rest, subplan, scale0, coarsen_x, n_pre,
 
 def _pass_b_kernel(x_ref, b_ref, e2_ref, xo_ref, s_x, s_b, t_x, t_b, *,
                    R, W, nf, Hb, k2, inv_dx2, inv_dy2, volp, sor,
-                   coarsen_x, hbp):
-    """Streamed row-prolong + correct + post-smooth."""
+                   coarsen_x, hbp, windowed=False):
+    """Streamed row-prolong + correct + post-smooth.
+
+    `windowed` (wide hand-off layout): e2 arrives PRE-SLICED into
+    per-slab windows (XLA built them), so the kernel never holds the
+    whole correction in VMEM - the block IS this slab's window."""
     # the e2 slice offsets below algebraically absorb hbp (the coarse
     # kernel's top-pad depth); assert the relation they encode so an
     # e2-padding change cannot silently desynchronize the two kernels
@@ -283,12 +348,19 @@ def _pass_b_kernel(x_ref, b_ref, e2_ref, xo_ref, s_x, s_b, t_x, t_b, *,
             # The slice offset (m0 + hbp - 1 for m0 = g0//2) simplifies
             # to (i-1) R/2 exactly - sublane-aligned given R % 16 == 0
             # (Mosaic needs a provable multiple of 8)
-            off = pl.multiple_of((i - 1) * (R // 2), 8)
-            Es = e2_ref[pl.ds(off, nwin // 2 + 2), :]
+            if windowed:
+                # the block IS this slab's window, padded to an 8-aligned
+                # height - the true window is its first nwin//2+2 rows
+                Es = e2_ref[:][:nwin // 2 + 2]
+            else:
+                off = pl.multiple_of((i - 1) * (R // 2), 8)
+                Es = e2_ref[pl.ds(off, nwin // 2 + 2), :]
             em1, em, ep1 = Es[:-2], Es[1:-1], Es[2:]
             c_even = 0.75 * em + 0.25 * em1
             c_odd = 0.75 * em + 0.25 * ep1
             corr = jnp.stack([c_even, c_odd], axis=1).reshape(nwin, W)
+        elif windowed:
+            corr = e2_ref[:][:nwin]
         else:
             # identity rows: offset (i-1)R - Hb + hbp == (i-1)R exactly
             # (hbp == Hb in this mode)
@@ -313,11 +385,259 @@ def _pass_b_kernel(x_ref, b_ref, e2_ref, xo_ref, s_x, s_b, t_x, t_b, *,
     s_b[:] = cur_b
 
 
+def _make_streamed_cycle(plan, *, R, n_pre, n_post, sor, coarsest_sweeps,
+                         resident_sub_cells_max, wide_vmem_bytes,
+                         interpret):
+    """Build `cycle(fpad, bpad) -> (fpad', entry_sumsq)`: ONE streamed
+    V-cycle on `plan`'s level 0 in padded-slab layout (`_pad_slabs`).
+
+    The coarse correction between pass A and pass B is VMEM-resident
+    (one kernel, `make_level_ops`) when the sub-hierarchy's top level
+    fits `resident_sub_cells_max`; past that it RECURSES this factory
+    onto level 1 - the level-1 smoothing/residual/restriction stream
+    through VMEM in slabs too, and only a small-enough tail stays
+    resident. The recursive hand-off runs three cheap XLA steps on the
+    (nc, mc) coarse arrays (restriction normalization, the column
+    prolongation matmul at HIGHEST precision, e2 edge padding) that the
+    resident kernel otherwise fuses - at 4096^2 that is ~3 extra HBM
+    round trips of 16 MiB arrays against a compiler crash without them
+    (see RESIDENT_SUB_CELLS_MAX)."""
+    nf, W = plan.sizes[0]
+    coarsen_x = not plan.idents[0][0]
+    coarsen_y = not plan.idents[0][1]
+    nc, mc = plan.sizes[1]
+    subplan, n_l0 = _subplan(plan)
+    Ha = 2 * n_pre + 2
+    Hb = 2 * n_post
+    if Ha > R or Hb > R:
+        raise ValueError("slab_rows too small for the smoother halos")
+    inv_dx2, inv_dy2 = plan.spacings[0]
+    volp0 = plan.volp_levels[0]
+
+    n_blocks = 2 + -(-nf // R)
+    n_data = n_blocks - 2
+    ebase = (n_data * R // 2) if coarsen_x else (n_data * R)
+    nc_pad = ebase + 2
+    hbp = (Hb // 2 + 1) if coarsen_x else Hb
+    e2_rows = ebase + 2 * hbp + 2
+
+    # level-0 column transfer operators (exact resize matrices, MXU)
+    l0_mats = []
+    pct = None
+    if coarsen_y:
+        l0_mats = [plan.mats[0 + (1 if coarsen_x else 0)]]  # RcT (mf, mc)
+        # plan.mats order per level: R_row (if x), Rc_T (if y), P_row
+        # (if x), Pc_T (if y)
+        pct = plan.mats[n_l0 - 1]  # Pc_T (mc, mf): always last of level 0
+    space = pl.ANY if interpret else pltpu.VMEM
+    kw = _vmem_params(interpret)
+
+    # Wide hand-off decision: estimate each pass's VMEM (the pipeline
+    # double-buffers every block) and switch layouts when the in-kernel
+    # column matmul / whole-rc / whole-e2 residency cannot fit. Silicon
+    # calibration (v5e, 2026-08-18): 2048^2 (est ~42 MiB/pass) compiles
+    # and wins; 2560^2 (est ~60 MiB) SIGABRTs the TPU compiler - the
+    # effective ceiling sits well under the 100 MiB scoped budget once
+    # Mosaic's own window temporaries are counted.
+    prt_rows = (R // 2 + 2) if coarsen_x else R
+    prt_pad = -(-prt_rows // 8) * 8  # Mosaic: tiled block dims % 8 == 0
+    est_a = 2 * (3 * R * W + (W * mc if coarsen_y else 0) + nc_pad * mc)
+    est_b = 2 * (3 * R * W + e2_rows * W)
+    est_scratch = 2 * R * W + 2 * Ha * W
+    wide = (max(est_a, est_b) + est_scratch) * 4 > wide_vmem_bytes
+    if wide and len(subplan.sizes) < 2:
+        raise ValueError(
+            "grid too wide for in-kernel transfer operators but its "
+            "hierarchy is too shallow to recurse; raise min_size levels"
+        )
+
+    def load_idx(i):
+        return (jnp.minimum(i + 1, n_blocks - 1), 0)
+
+    pass_a = pl.pallas_call(
+        functools.partial(
+            _pass_a_kernel, R=R, W=W, nf=nf, Ha=Ha, k1=n_pre,
+            inv_dx2=inv_dx2, inv_dy2=inv_dy2, volp=volp0, sor=sor,
+            coarsen_x=coarsen_x, coarsen_y=coarsen_y, wide=wide,
+        ),
+        # donate x's buffer (write trails the lagged read; pallas_tiled)
+        input_output_aliases={0: 0},
+        grid=(n_blocks,),
+        in_specs=(
+            [pl.BlockSpec((R, W), load_idx), pl.BlockSpec((R, W), load_idx)]
+            + ([pl.BlockSpec((W, mc), lambda i: (0, 0))]
+               if (coarsen_y and not wide) else [])
+        ),
+        out_specs=[
+            pl.BlockSpec((R, W), lambda i: (i, 0)),
+            (pl.BlockSpec((prt_pad, W), lambda i: (i, 0)) if wide
+             else pl.BlockSpec((nc_pad, mc), lambda i: (0, 0))),
+            pl.BlockSpec((1, 1), lambda i: (0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_blocks * R, W), jnp.float32),
+            (jax.ShapeDtypeStruct((n_blocks * prt_pad, W), jnp.float32)
+             if wide
+             else jax.ShapeDtypeStruct((nc_pad, mc), jnp.float32)),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((R, W), jnp.float32),
+            pltpu.VMEM((R, W), jnp.float32),
+            pltpu.VMEM((Ha, W), jnp.float32),
+            pltpu.VMEM((Ha, W), jnp.float32),
+        ],
+        interpret=interpret,
+        **kw,
+    )
+
+    nwin_b = R + 2 * Hb
+    win_rows = (nwin_b // 2 + 2) if coarsen_x else nwin_b
+    win_pad = -(-win_rows // 8) * 8  # Mosaic: tiled block dims % 8 == 0
+    pass_b = pl.pallas_call(
+        functools.partial(
+            _pass_b_kernel, R=R, W=W, nf=nf, Hb=Hb, k2=n_post,
+            inv_dx2=inv_dx2, inv_dy2=inv_dy2, volp=volp0, sor=sor,
+            coarsen_x=coarsen_x, hbp=hbp, windowed=wide,
+        ),
+        input_output_aliases={0: 0},
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((R, W), load_idx),
+            pl.BlockSpec((R, W), load_idx),
+            (pl.BlockSpec((win_pad, W), lambda i: (i, 0)) if wide
+             else pl.BlockSpec((e2_rows, W), lambda i: (0, 0))),
+        ],
+        out_specs=pl.BlockSpec((R, W), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((n_blocks * R, W), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((R, W), jnp.float32),
+            pltpu.VMEM((R, W), jnp.float32),
+            pltpu.VMEM((Hb, W), jnp.float32),
+            pltpu.VMEM((Hb, W), jnp.float32),
+        ],
+        interpret=interpret,
+        **kw,
+    )
+
+    sub_cells = subplan.sizes[0][0] * subplan.sizes[0][1]
+    recurse = wide or (
+        len(subplan.sizes) >= 2 and sub_cells > resident_sub_cells_max
+    )
+    norm_row = _row_restrict_norm(nc, plan.scales[0], coarsen_x)
+    rc_top = 1 if coarsen_x else 0  # conv layout carries one top pad row
+
+    if recurse:
+        # level-1 too big for the resident kernel: stream it too
+        sub_cycle = _make_streamed_cycle(
+            subplan, R=R, n_pre=n_pre, n_post=n_post, sor=sor,
+            coarsest_sweeps=coarsest_sweeps,
+            resident_sub_cells_max=resident_sub_cells_max,
+            wide_vmem_bytes=wide_vmem_bytes,
+            interpret=interpret,
+        )
+
+        def level1_solve(r1):
+            """One recursive streamed V-cycle on the normalized level-1
+            system (zero initial guess), exactly `v_cycle(0, rc, 0)` on
+            the sub-hierarchy."""
+            x1pad, _ = sub_cycle(
+                _pad_slabs(jnp.zeros_like(r1), R), _pad_slabs(r1, R)
+            )
+            return x1pad[R:R + nc]
+
+        def e2_of(e):
+            """Column prolongation + edge-replicated row padding, exactly
+            as `_coarse_kernel`'s tail - at HIGHEST precision, matching
+            mxu_dot_f32's accuracy (bf16-default matmuls are exactly the
+            drift the silicon gates caught)."""
+            if coarsen_y:
+                e = jnp.dot(e, pct, precision=jax.lax.Precision.HIGHEST)
+            top = jnp.repeat(e[:1], hbp, axis=0)
+            bot = jnp.repeat(e[-1:], e2_rows - hbp - nc, axis=0)
+            return jnp.concatenate([top, e, bot], axis=0)
+
+        def coarse_correct(rc):
+            # pass A leaves rc unnormalized (cross-slab conv
+            # accumulation); the resident kernel folds these factors in
+            # at entry - here XLA applies the identical per-row norms
+            return e2_of(level1_solve(rc[rc_top:rc_top + nc] * norm_row))
+    else:
+        coarse = pl.pallas_call(
+            functools.partial(
+                _coarse_kernel, subplan=subplan, scale0=plan.scales[0],
+                coarsen_x=coarsen_x, n_pre=n_pre, n_post=n_post, sor=sor,
+                coarsest_sweeps=coarsest_sweeps, coarsen_y=coarsen_y,
+                hbp=hbp,
+            ),
+            in_specs=[pl.BlockSpec(memory_space=space)]
+            * (1 + len(subplan.mats) + (1 if coarsen_y else 0)),
+            out_specs=pl.BlockSpec(memory_space=space),
+            out_shape=jax.ShapeDtypeStruct((e2_rows, W), jnp.float32),
+            interpret=interpret,
+            **kw,
+        )
+
+        def coarse_correct(rc):
+            return coarse(rc, *subplan.mats, *([pct] if coarsen_y else []))
+
+    if not wide:
+
+        def cycle(fpad, bpad):
+            fpad, rc, ss = pass_a(fpad, bpad, *l0_mats)
+            e2 = coarse_correct(rc)
+            fpad = pass_b(fpad, bpad, e2)
+            return fpad, ss[0, 0]
+
+        return cycle
+
+    # wide hand-off cycle: XLA reassembles the per-slab restriction
+    # partials (overlap-add - each coarse row receives contributions
+    # from at most two slabs, so the add order matches the in-kernel
+    # accumulation bitwise), applies the column restriction matmul,
+    # recurses, then pre-slices e2 into the per-slab windows pass B's
+    # blocked input expects. ~4 extra HBM round trips of (nc, W)-class
+    # arrays per cycle - at 4096^2 that is ~2 ms against a compiler
+    # crash without them.
+    rct = l0_mats[0] if coarsen_y else None
+
+    def cycle(fpad, bpad):
+        fpad, parts_flat, ss = pass_a(fpad, bpad)
+        parts = parts_flat.reshape(n_blocks, prt_pad, W)[:, :prt_rows]
+        rc_full = jnp.zeros((nc_pad, W), jnp.float32)
+        if coarsen_x:
+            for i in range(1, n_blocks - 1):
+                a0 = (i - 1) * (R // 2)
+                rc_full = rc_full.at[a0:a0 + prt_rows].add(parts[i])
+        else:
+            rc_full = rc_full.at[0:n_data * R].set(
+                parts[1:-1].reshape(n_data * R, W)
+            )
+        r = rc_full[rc_top:rc_top + nc] * norm_row
+        if coarsen_y:
+            r = jnp.dot(r, rct, precision=jax.lax.Precision.HIGHEST)
+        e2 = e2_of(level1_solve(r))
+        # over-pad e2 so the last slab's 8-aligned window never overruns
+        e2p = jnp.concatenate(
+            [e2, jnp.zeros((win_pad, W), jnp.float32)], axis=0)
+        zw = jnp.zeros((win_pad, W), jnp.float32)
+        step = (R // 2) if coarsen_x else R
+        wins = [zw] + [
+            e2p[(i - 1) * step:(i - 1) * step + win_pad]
+            for i in range(1, n_blocks - 1)
+        ] + [zw]
+        fpad = pass_b(fpad, bpad, jnp.concatenate(wins, axis=0))
+        return fpad, ss[0, 0]
+
+    return cycle
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("dx", "dy", "dt", "rho", "volp", "tol", "max_cycles",
                      "n_pre", "n_post", "smoother_sor", "min_size",
                      "coarsest_sweeps", "slab_rows", "return_count",
+                     "resident_sub_cells_max", "wide_vmem_bytes",
                      "interpret"),
 )
 def stream_mg_solve_pressure(
@@ -338,12 +658,17 @@ def stream_mg_solve_pressure(
     coarsest_sweeps: int = 40,
     slab_rows: int = SLAB_ROWS,
     return_count: bool = False,
+    resident_sub_cells_max: int = RESIDENT_SUB_CELLS_MAX,
+    wide_vmem_bytes: int = WIDE_VMEM_BYTES,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Drop-in replacement for `multigrid.mg_solve_pressure` at grids past
     the VMEM wall (f32): same level schedule, smoother, and transfer
     operators; lagged exit check (one extra cycle - see module docstring).
-    With `return_count`, returns (p, bodies_run)."""
+    Levels stream through VMEM recursively until one fits the resident
+    coarse kernel (`resident_sub_cells_max`; at 4096^2 the fine AND the
+    2048^2 level stream, 1024^2 down stays resident). With
+    `return_count`, returns (p, bodies_run)."""
     if p.dtype != jnp.float32:
         raise ValueError("stream_mg_solve_pressure is float32-only")
     nx, ny = p.shape[0] - 2, p.shape[1] - 2
@@ -356,22 +681,13 @@ def stream_mg_solve_pressure(
         raise ValueError("the streamed V-cycle needs n_pre >= 1 and "
                          "n_post >= 1 (entry-rms and halo widths are "
                          "built from the smoothing sweeps)")
-    coarsen_x = not plan.idents[0][0]
-    coarsen_y = not plan.idents[0][1]
-    nc, mc = plan.sizes[1]
-    subplan, n_l0 = _subplan(plan)
     R = slab_rows
     if R % 16:
         raise ValueError("slab_rows must be a multiple of 16 (keeps the "
                          "restrict/prolong slice offsets (i-1)*R/2 "
                          "sublane-aligned for Mosaic)")
-    Ha = 2 * n_pre + 2
-    Hb = 2 * n_post
-    if Ha > R or Hb > R:
-        raise ValueError("slab_rows too small for the smoother halos")
     inv_dx2, inv_dy2 = plan.spacings[0]
     volp0 = plan.volp_levels[0]
-    sor = smoother_sor
     n_cells = nx * ny
 
     # RHS with the frozen ghost ring folded in (identical to
@@ -382,117 +698,19 @@ def stream_mg_solve_pressure(
 
     fpad = _pad_slabs(p[1:-1, 1:-1], R)
     bpad = _pad_slabs(b_eff, R)
-    n_blocks = fpad.shape[0] // R
-    W = ny
 
-    # level-0 column transfer operators (exact resize matrices, MXU)
-    l0_mats = []
-    if coarsen_y:
-        l0_mats = [plan.mats[0 + (1 if coarsen_x else 0)]]  # RcT (mf, mc)
-        # plan.mats order per level: R_row (if x), Rc_T (if y), P_row
-        # (if x), Pc_T (if y)
-        pct = plan.mats[n_l0 - 1]  # Pc_T (mc, mf): always last of level 0
-    else:
-        pct = None
-    space = pl.ANY if interpret else pltpu.VMEM
-    kw = _vmem_params(interpret)
-    # buffer row counts are sized to the PADDED slab span, not nc: a
-    # ragged final slab's restrict writes / prolong reads run past nc by
-    # up to a slab's worth of (zero / exterior-masked) rows, and an
-    # out-of-range dynamic slice silently clamps its start - corrupting
-    # real rows (measured: 72-row grid with 16-row slabs, diff ~1.0)
-    n_data = n_blocks - 2
-    ebase = (n_data * R // 2) if coarsen_x else (n_data * R)
-    nc_pad = ebase + 2
-    # pass B slices e2 rows at offset g_lo//2 - 1 (coarsened rows) or
-    # g_lo (identity rows), g_lo = -Hb at the first data slab; pad e2's
-    # rows so the offset stays >= 0
-    hbp = (Hb // 2 + 1) if coarsen_x else Hb
-    e2_rows = ebase + 2 * hbp + 2
-
-    def load_idx(i):
-        return (jnp.minimum(i + 1, n_blocks - 1), 0)
-
-    pass_a = pl.pallas_call(
-        functools.partial(
-            _pass_a_kernel, R=R, W=W, nf=nx, Ha=Ha, k1=n_pre,
-            inv_dx2=inv_dx2, inv_dy2=inv_dy2, volp=volp0, sor=sor,
-            coarsen_x=coarsen_x, coarsen_y=coarsen_y,
-        ),
-        # donate x's buffer (write trails the lagged read; pallas_tiled)
-        input_output_aliases={0: 0},
-        grid=(n_blocks,),
-        in_specs=(
-            [pl.BlockSpec((R, W), load_idx), pl.BlockSpec((R, W), load_idx)]
-            + ([pl.BlockSpec((W, mc), lambda i: (0, 0))] if coarsen_y
-               else [])
-        ),
-        out_specs=[
-            pl.BlockSpec((R, W), lambda i: (i, 0)),
-            pl.BlockSpec((nc_pad, mc), lambda i: (0, 0)),
-            pl.BlockSpec((1, 1), lambda i: (0, 0)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct(fpad.shape, jnp.float32),
-            jax.ShapeDtypeStruct((nc_pad, mc), jnp.float32),
-            jax.ShapeDtypeStruct((1, 1), jnp.float32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((R, W), jnp.float32),
-            pltpu.VMEM((R, W), jnp.float32),
-            pltpu.VMEM((Ha, W), jnp.float32),
-            pltpu.VMEM((Ha, W), jnp.float32),
-        ],
+    cycle = _make_streamed_cycle(
+        plan, R=R, n_pre=n_pre, n_post=n_post, sor=smoother_sor,
+        coarsest_sweeps=coarsest_sweeps,
+        resident_sub_cells_max=resident_sub_cells_max,
+        wide_vmem_bytes=wide_vmem_bytes,
         interpret=interpret,
-        **kw,
-    )
-
-    coarse = pl.pallas_call(
-        functools.partial(
-            _coarse_kernel, subplan=subplan, scale0=plan.scales[0],
-            coarsen_x=coarsen_x, n_pre=n_pre, n_post=n_post, sor=sor,
-            coarsest_sweeps=coarsest_sweeps, coarsen_y=coarsen_y,
-            hbp=hbp,
-        ),
-        in_specs=[pl.BlockSpec(memory_space=space)]
-        * (1 + len(subplan.mats) + (1 if coarsen_y else 0)),
-        out_specs=pl.BlockSpec(memory_space=space),
-        out_shape=jax.ShapeDtypeStruct((e2_rows, W), jnp.float32),
-        interpret=interpret,
-        **kw,
-    )
-
-    pass_b = pl.pallas_call(
-        functools.partial(
-            _pass_b_kernel, R=R, W=W, nf=nx, Hb=Hb, k2=n_post,
-            inv_dx2=inv_dx2, inv_dy2=inv_dy2, volp=volp0, sor=sor,
-            coarsen_x=coarsen_x, hbp=hbp,
-        ),
-        input_output_aliases={0: 0},
-        grid=(n_blocks,),
-        in_specs=[
-            pl.BlockSpec((R, W), load_idx),
-            pl.BlockSpec((R, W), load_idx),
-            pl.BlockSpec((e2_rows, W), lambda i: (0, 0)),
-        ],
-        out_specs=pl.BlockSpec((R, W), lambda i: (i, 0)),
-        out_shape=jax.ShapeDtypeStruct(fpad.shape, jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((R, W), jnp.float32),
-            pltpu.VMEM((R, W), jnp.float32),
-            pltpu.VMEM((Hb, W), jnp.float32),
-            pltpu.VMEM((Hb, W), jnp.float32),
-        ],
-        interpret=interpret,
-        **kw,
     )
 
     def body(carry):
         f, prev, best, stale, it = carry
-        f, rc, ss = pass_a(f, bpad, *l0_mats)
-        rms = jnp.sqrt(ss[0, 0] / n_cells)
-        e2 = coarse(rc, *subplan.mats, *([pct] if coarsen_y else []))
-        f = pass_b(f, bpad, e2)
+        f, ss = cycle(f, bpad)
+        rms = jnp.sqrt(ss / n_cells)
         stale, best = stall_update(rms, prev, best, stale)
         return f, rms, best, stale, it + 1
 

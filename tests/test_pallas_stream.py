@@ -74,6 +74,53 @@ def test_single_cycle_matches_jnp_vcycle(rng, nx, ny, lx, ly, label):
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
+@pytest.mark.parametrize(
+    "nx,ny,lx,ly,label",
+    [
+        (64, 64, 1.0, 1.0, "isotropic, depth-2 recursion"),
+        (72, 64, 1.0, 1.0, "ragged final slab"),
+        (64, 48, 10.0, 3.0, "semi-coarsen y (BFS anisotropy)"),
+    ],
+)
+def test_recursive_streaming_matches_jnp_vcycle(rng, nx, ny, lx, ly, label):
+    """`resident_sub_cells_max=0` forces the coarse correction to recurse
+    the slab streaming at EVERY level that still has a sub-hierarchy
+    (the 4096^2 configuration, where the resident 2048^2 coarse kernel
+    cannot compile) - one forced cycle must still equal one jnp V-cycle:
+    the recursion only changes where each level's smoothing runs, not
+    the operators."""
+    p0, ff, kw = _poisson_case(rng, nx, ny, lx, ly)
+    a = mg_solve_pressure(p0, ff, tol=1e-30, max_cycles=1, **kw)
+    b = stream_mg_solve_pressure(p0, ff, tol=1e-30, max_cycles=1,
+                                 slab_rows=16, interpret=True,
+                                 resident_sub_cells_max=0, **kw)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+@pytest.mark.parametrize(
+    "nx,ny,lx,ly,label",
+    [
+        (64, 64, 1.0, 1.0, "isotropic"),
+        (72, 64, 1.0, 1.0, "ragged final slab"),
+        (64, 48, 10.0, 3.0, "semi-coarsen y"),
+        (48, 64, 3.0, 10.0, "semi-coarsen x (identity columns)"),
+    ],
+)
+def test_wide_handoff_matches_jnp_vcycle(rng, nx, ny, lx, ly, label):
+    """A tiny `wide_vmem_bytes` forces the top level onto the wide
+    hand-off layout (the >=2560^2 configuration: per-slab restriction
+    partials overlap-added in XLA, column matmuls at HIGHEST precision
+    outside the kernel, e2 pre-sliced into per-slab windows) while
+    deeper levels stay on the in-kernel layout - two forced cycles must
+    match the jnp V-cycle like the resident path does."""
+    p0, ff, kw = _poisson_case(rng, nx, ny, lx, ly)
+    a = mg_solve_pressure(p0, ff, tol=1e-30, max_cycles=2, **kw)
+    b = stream_mg_solve_pressure(p0, ff, tol=1e-30, max_cycles=2,
+                                 slab_rows=16, interpret=True,
+                                 wide_vmem_bytes=40_000, **kw)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
 def test_streamed_solve_reaches_tolerance(rng):
     """Full streamed solve: reaches the same tolerance as the jnp path
     (one extra cycle by the lagged exit check), ghost ring untouched."""

@@ -80,6 +80,51 @@ def test_streamed_mg_kernel_matches_jnp(poisson_128):
     assert float(jnp.max(jnp.abs(c - g))) <= 1e-5
 
 
+def test_recursive_streamed_mg_on_silicon(poisson_128):
+    """Forced recursion (`resident_sub_cells_max=0`): the coarse
+    correction streams EVERY level with a sub-hierarchy - the 4096^2
+    configuration, where a resident 2048^2 coarse kernel SIGABRTs the
+    TPU compiler - Mosaic-compiled and numerically gated at a small size.
+    The recursion adds per-level XLA hand-off steps (rc normalization,
+    HIGHEST-precision column prolongation, e2 padding) that only real
+    silicon exercises faithfully."""
+    from sr_for_cfd_tpu.ops.multigrid import mg_solve_pressure
+    from sr_for_cfd_tpu.ops.pallas_stream import stream_mg_solve_pressure
+
+    p0, ff, kw = poisson_128
+    kw = dict(kw, tol=1e-30)
+    c = mg_solve_pressure(p0, ff, max_cycles=4, **kw)
+    g = stream_mg_solve_pressure(p0, ff, max_cycles=4, slab_rows=16,
+                                 resident_sub_cells_max=0, **kw)
+    assert float(jnp.max(jnp.abs(c - g))) <= 1e-5
+
+
+def test_wide_handoff_streamed_mg_on_silicon():
+    """The wide hand-off layout (the >=2560^2 production configuration:
+    per-slab restriction partials, XLA column matmuls, pre-sliced e2
+    windows) forced at 512^2 via the VMEM-estimate threshold, gated
+    against the jnp V-cycle at forced-equal cycles. Exercises the
+    8-aligned partial/window blocks and the mask-then-slice workaround
+    for Mosaic's vector_extract_strided_slice crash on real silicon."""
+    from sr_for_cfd_tpu.ops.multigrid import mg_solve_pressure
+    from sr_for_cfd_tpu.ops.pallas_stream import stream_mg_solve_pressure
+    from sr_for_cfd_tpu.ops.stencil import face_fluxes
+
+    _require_tpu()
+    n = 512
+    dx = 1.0 / n
+    g = np.random.default_rng(3)
+    u = jnp.asarray(g.standard_normal((n + 2, n + 2)) * 0.1, jnp.float32)
+    v = jnp.asarray(g.standard_normal((n + 2, n + 2)) * 0.1, jnp.float32)
+    p0 = jnp.zeros((n + 2, n + 2), jnp.float32)
+    ff = face_fluxes(u, v, dx, dx)
+    kw = dict(dx=dx, dy=dx, dt=1e-3, rho=1.0, volp=dx * dx, tol=1e-30)
+    c = mg_solve_pressure(p0, ff, max_cycles=4, **kw)
+    w = stream_mg_solve_pressure(p0, ff, max_cycles=4, slab_rows=64,
+                                 wide_vmem_bytes=2_000_000, **kw)
+    assert float(jnp.max(jnp.abs(c - w))) <= 1e-5
+
+
 def test_tiled_kernel_matches_jnp(poisson_128):
     from sr_for_cfd_tpu.ops.pallas_tiled import tiled_solve_pressure
     from sr_for_cfd_tpu.ops.sweeps import solve_pressure
