@@ -30,8 +30,9 @@ passes instead of the jnp path's 2 passes per half-sweep:
 Past ~2560^2 the pass kernels themselves outgrow VMEM (the dense column
 transfer operand alone is 32 MiB at 4096^2) and switch to the `wide`
 hand-off layout (WIDE_VMEM_BYTES): per-slab restriction partials that
-XLA overlap-adds, column matmuls at HIGHEST precision outside the
-kernel, and e2 pre-sliced into per-slab windows.
+XLA overlap-adds, column transfers as `jax.image.resize` outside the
+kernel (computed, not 100+ MiB baked-in matrix constants), and e2
+pre-sliced into per-slab windows.
 
 Fine-level transfer operators: `jax.image.resize(linear)` at exact 2x is
 a stride-2 [1,3,3,1]/8 conv (restriction; boundary rows renormalize to
@@ -548,11 +549,16 @@ def _make_streamed_cycle(plan, *, R, n_pre, n_post, sor, coarsest_sweeps,
 
         def e2_of(e):
             """Column prolongation + edge-replicated row padding, exactly
-            as `_coarse_kernel`'s tail - at HIGHEST precision, matching
-            mxu_dot_f32's accuracy (bf16-default matmuls are exactly the
-            drift the silicon gates caught)."""
+            as `_coarse_kernel`'s tail. The prolongation is
+            `jax.image.resize` - the OPERATOR the in-kernel Pc_T matmul
+            was built from (`pallas_mg._resize_matrix`), computed instead
+            of baked in: embedding the dense matrices as XLA constants
+            blows the program size at huge grids (a 134 MiB Rc_T at
+            8192^2 overflows the compile request), and XLA's f32 resize
+            is exact where bf16-default matmuls were the drift the
+            silicon gates caught."""
             if coarsen_y:
-                e = jnp.dot(e, pct, precision=jax.lax.Precision.HIGHEST)
+                e = jax.image.resize(e, (e.shape[0], W), method="linear")
             top = jnp.repeat(e[:1], hbp, axis=0)
             bot = jnp.repeat(e[-1:], e2_rows - hbp - nc, axis=0)
             return jnp.concatenate([top, e, bot], axis=0)
@@ -594,12 +600,11 @@ def _make_streamed_cycle(plan, *, R, n_pre, n_post, sor, coarsest_sweeps,
     # wide hand-off cycle: XLA reassembles the per-slab restriction
     # partials (overlap-add - each coarse row receives contributions
     # from at most two slabs, so the add order matches the in-kernel
-    # accumulation bitwise), applies the column restriction matmul,
-    # recurses, then pre-slices e2 into the per-slab windows pass B's
-    # blocked input expects. ~4 extra HBM round trips of (nc, W)-class
-    # arrays per cycle - at 4096^2 that is ~2 ms against a compiler
-    # crash without them.
-    rct = l0_mats[0] if coarsen_y else None
+    # accumulation bitwise), applies the column restriction (as
+    # jax.image.resize - see e2_of), recurses, then pre-slices e2 into
+    # the per-slab windows pass B's blocked input expects. ~4 extra HBM
+    # round trips of (nc, W)-class arrays per cycle - at 4096^2 that is
+    # ~2 ms against a compiler crash without them.
 
     def cycle(fpad, bpad):
         fpad, parts_flat, ss = pass_a(fpad, bpad)
@@ -615,7 +620,7 @@ def _make_streamed_cycle(plan, *, R, n_pre, n_post, sor, coarsest_sweeps,
             )
         r = rc_full[rc_top:rc_top + nc] * norm_row
         if coarsen_y:
-            r = jnp.dot(r, rct, precision=jax.lax.Precision.HIGHEST)
+            r = jax.image.resize(r, (nc, mc), method="linear")
         e2 = e2_of(level1_solve(r))
         # over-pad e2 so the last slab's 8-aligned window never overruns
         e2p = jnp.concatenate(
