@@ -69,11 +69,15 @@ def run(name, coarse_overrides=None, stats=STATS, model=MODEL, **kw):
           # ms/iter between two recorded demo runs of this same config).
           "inner_max_iter": 16,
           # RRE steady-state extrapolation (ops/extrapolate.py): cuts the
-          # pseudo-time march ~2x (measured 68k -> 38k on this config).
+          # pseudo-time march ~2x (measured 68k -> 38k at every=1000;
+          # a 9-variant cadence/depth sweep found every=2000/depth=6
+          # exits at 32k - wider windows resolve the slow modes better -
+          # while 500/250 cadences are WORSE (50k/48k: snapshots too
+          # correlated), fields all within 4e-4 of the same fixed point).
           # Safe for the cavity SR input distribution: the 10x10 cavity
           # training fields converged BY CRITERIA (not capped), so the
           # extrapolated fixed point IS the training distribution.
-          "rre_every": 1000,
+          "rre_every": 2000,
           # the coarse grid never converges by criteria (the reference's
           # 10x10 hit its 100k cap, BASELINE.md) - stop when the FIELDS
           # are stationary (drift < 3e-5 per 2000 iters, i.e. f32

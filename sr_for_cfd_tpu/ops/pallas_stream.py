@@ -216,10 +216,13 @@ def _pass_a_kernel(x_ref, b_ref, *rest, R, W, nf, Ha, k1, inv_dx2, inv_dy2,
         # Mask-then-slice, NEVER slice the i1 mask: sublane-slicing a
         # bool vector at the unaligned offset Ha crashes Mosaic's
         # ApplyVectorLayoutPass ("Check failed: limits[i] <= dim(i)" in
-        # vector_extract_strided_slice under scf_if) when W's lane-tile
-        # count is not a power of two (1280/2560/3072 fail, 1024/2048
-        # compile; isolated on v5e 2026-08-18). Slicing the f32 result
-        # at the same offset is handled fine.
+        # vector_extract_strided_slice under scf_if) at some widths -
+        # W = 1280/2560/3072/3584 crash while 64..1024, 2048, and the
+        # historical 768 runs compile, so the trigger looks like a
+        # non-power-of-two lane-tile count above 8 tiles (isolated by a
+        # strip-down ladder on v5e, 2026-08-18; this line was the only
+        # difference between the failing kernel and a compiling one).
+        # Slicing the f32 where-result at the same offset is fine.
         r_fin = bwin - _lap_win(win, inv_dx2, inv_dy2, volp)
         r_own = jnp.where(valid, r_fin, 0.0)[Ha:Ha + R]
 
