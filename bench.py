@@ -409,33 +409,50 @@ def main():
         result["roofline"]["multigrid_hbm_gb_per_sec_cost_model_bound"] = (
             round(mg_bytes / s_per_step / 1e9, 2))
 
-    # directly MEASURED streaming bandwidth: a fused 6-array sum, timed
-    # amortized (r3 calibration: this chip realizes ~120-160 GB/s for
-    # XLA and Pallas streaming alike, far below the v5e's 819 GB/s spec
-    # - every 'percent of HBM peak' claim must use this, not the spec)
+    # directly MEASURED streaming bandwidth, by trip-count DIFFERENCING:
+    # time the same jitted loop at two trip counts and divide the byte
+    # delta by the time delta, so the ~25 ms relay round-trip per synced
+    # dispatch cancels exactly. The r3 "120-160 GB/s" figure came from a
+    # probe whose ~7 ms of device work was swamped by that round-trip;
+    # differenced, this chip streams ~740 GB/s pure-read (~90% of the
+    # v5e 819 spec). Two traps the probe also avoids: a loop-INVARIANT
+    # body gets hoisted (measuring less traffic than intended), and a
+    # working set under ~100 MiB can be pinned in VMEM across loop
+    # iterations (measuring no HBM at all) - hence the loop-variant
+    # scale and the 512 MiB operand.
     if on_tpu:
         import jax
         import jax.numpy as jnp
         import numpy as _np
+        from functools import partial as _partial
 
-        arrs = [jnp.asarray(_np.random.default_rng(i).standard_normal(
-            (1536, 1024)), jnp.float32) for i in range(6)]
+        big = jnp.asarray(_np.random.default_rng(0).standard_normal(
+            512 * 1024 * 1024 // 4).astype(_np.float32))
 
-        @jax.jit
-        def _stream(x0):
-            def body(i, x):
-                return (x + arrs[1] + arrs[2] + arrs[3] + arrs[4]
-                        + arrs[5]) * (1.0 - 1e-12 * i)
-            return jax.lax.fori_loop(0, 100, body, x0)
+        @_partial(jax.jit, static_argnums=(1,))
+        def _stream(x, iters):
+            def body(i, s):
+                return s + jnp.sum(x * (1.0 + 1e-12 * i))
+            return jax.lax.fori_loop(0, iters, body, 0.0)
 
-        float(jnp.sum(_stream(arrs[0])))
-        best = float("inf")
-        for rep in range(2):
-            t0 = time.time()
-            float(jnp.sum(_stream(arrs[0].at[5, 5].add(1e-6 * (rep + 1)))))
-            best = min(best, time.time() - t0)
+        n1, n2 = 5, 45
+        float(_stream(big, n1))
+        float(_stream(big, n2))
+
+        def _best(k):
+            b = float("inf")
+            for _ in range(3):
+                t0 = time.time()
+                float(_stream(big, k))
+                b = min(b, time.time() - t0)
+            return b
+
+        t1, t2 = _best(n1), _best(n2)
         result["roofline"]["measured_stream_bandwidth_gb_per_s"] = round(
-            100 * 7 * 1536 * 1024 * 4 / best / 1e9, 1)
+            512 * 1024 * 1024 * (n2 - n1) / (t2 - t1) / 1e9, 1)
+        result["roofline"]["stream_bandwidth_method"] = (
+            "trip-count differencing, 512 MiB pure-read, relay "
+            "round-trip cancelled")
 
     # headline = fastest multigrid-family mode (same solve-to-tolerance
     # algorithm; the fused kernel only removes launch latency)

@@ -8,17 +8,21 @@ reduction - into ONE pass over HBM per sweep (read x/old/4 fluxes +
 write x), using the same sequential-grid slab pipeline as
 `ops/pallas_tiled.py`.
 
-Performance note (measured on this chip, 1024^2): the effective HBM
-streaming bandwidth of BOTH Pallas slab pipelines and fused XLA
-elementwise ops is ~120-160 GB/s (a trivial 6-array Pallas sum and
-XLA's own fused sum measure 108-156 GB/s; the bench's earlier "700
-GB/s" figure was an XLA-cost-model byte estimate that ignores fusion).
-At that bandwidth this kernel's 6-array pass is ~0.19 ms/sweep minimum;
-it measures 0.206 vs the jnp lowering's 0.234 - i.e. both sit at the
-machine's bandwidth wall, and the win is the fused single pass, not
-arithmetic. A 12-array precomputed-coefficient variant (fewer VPU ops)
-measured SLOWER (0.24-0.26) for exactly this reason: more streamed
-bytes. Keep the per-eval formulation.
+Performance note (measured on this chip; CORRECTED late-r3): the chip
+streams ~740 GB/s pure-read / ~570 GB/s mixed read+write when timed by
+trip-count differencing (two trip counts of one on-device loop, byte
+delta over time delta - the method that cancels this environment's
+~25 ms relay round-trip per synced dispatch; the interim "120-160
+GB/s" figure here was that round-trip swamping a too-small probe, and
+the bench's still-earlier "700 GB/s" was an XLA-cost-model byte
+estimate that ignores fusion). Differenced, a QUICK red-black sweep costs
+0.14 ms at 1024^2 / 0.49 ms at 2048^2 on the jnp lowering (~420 GB/s
+of fused traffic - the jnp red half and black half each round-trip
+HBM); this kernel's one-HBM-pass-per-sweep measures 0.325 ms at 2048^2
+(-34%, both halves inside the slab), and multi-sweep passes
+(`check_every` sweeps per HBM pass) stack on top. A 12-array
+precomputed-coefficient variant (fewer VPU ops) moves ~2x the bytes
+and measured SLOWER end-to-end. Keep the per-eval formulation.
 
 Residual semantics are `sweeps.momentum_residual` exactly (QUICK or
 UPWIND convection with the reference's edge-clamped +-2 far neighbors,
