@@ -1,0 +1,112 @@
+"""Multi-chip ICI scaling budget for the decomposed SIMPLE step.
+
+One real chip is available in this environment, so multi-chip wall time
+cannot be measured - but the collective traffic CAN be known exactly
+(the jaxpr census, `parallel/comm_budget.py`) and the inner-loop trip
+counts CAN be measured (single-device `with_counts`; the SPMD loop
+exits are count-identical, tests/test_parallel.py). This script
+combines both with explicit v5e link parameters into the predicted
+scaling table and writes `docs/ici_budget.json`.
+
+Single-chip ms/step inputs are the recorded flagship numbers:
+`docs/scaling_bench.json` (mg_pallas rows, Re=1000 QUICK f32 cavity,
+scripts/scaling_bench.py) and the bench's 400^2 modes (BENCH at HEAD).
+
+Run on the 8-device virtual CPU mesh:
+  JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+      python scripts/ici_budget.py
+"""
+
+import json
+import os
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+import numpy as np  # noqa: E402
+from jax.sharding import Mesh  # noqa: E402
+
+from sr_for_cfd_tpu.parallel.comm_budget import (  # noqa: E402
+    IciParams,
+    measured_inner_trips,
+    predict_scaling,
+    spmd_chunk_census,
+    step_traffic,
+)
+from sr_for_cfd_tpu.solver.cases import make_cavity_solver  # noqa: E402
+
+# (nx, pressure_solver, single-chip ms/step, trip-count window)
+# ms/step provenance: 400^2 rows from bench.py at HEAD (multigrid 0.407
+# is the jnp path, mg_pallas 0.370; sweeps 'parity' mode 2.536); larger
+# rows are docs/scaling_bench.json mg_pallas (the flagship Pallas path).
+EXPERIMENTS = [
+    (400, "sweeps", 2.536, 6),
+    (400, "multigrid", 0.370, 6),
+    (1024, "multigrid", 1.967, 3),
+    (2048, "multigrid", 7.856, 2),
+]
+DEVICE_COUNTS = (2, 4, 8)
+
+
+def main() -> None:
+    out = {
+        "ici_params": IciParams()._asdict(),
+        "method": (
+            "per-rank collective bytes/calls from a jaxpr census of the "
+            "shard_map'd chunk (exact), inner trips measured via "
+            "simple_step(with_counts=True) from fresh fields (flow-"
+            "dependent; window recorded), link bandwidth/latency are "
+            "parameters (public v5e spec) - recalibrate IciParams on a "
+            "real mesh"
+        ),
+        "experiments": {},
+    }
+    for nx, psolver, ms_single, window in EXPERIMENTS:
+        case = make_cavity_solver(
+            Re=1000.0, nx=nx, ny=nx, dt=1e-3, scheme="QUICK",
+            dtype="float32", pressure_solver=psolver,
+        ).case
+        print(f"== {nx}x{nx} {psolver}: measuring {window}-step trip "
+              "window...", flush=True)
+        trips = measured_inner_trips(case, n_steps=window)
+        row = {
+            "single_chip_ms_per_step": ms_single,
+            "trips_per_step": trips,
+            "trip_window_steps": window,
+            "meshes": {},
+        }
+        for n_dev in DEVICE_COUNTS:
+            mesh = Mesh(np.array(jax.devices()[:n_dev]), ("x",))
+            chunk = spmd_chunk_census(case, mesh)
+            traffic = step_traffic(chunk, trips, case)
+            pred = predict_scaling(ms_single, traffic, n_dev)
+            row["meshes"][str(n_dev)] = {
+                "per_rank_bytes_per_step": traffic["bytes_per_step"],
+                "collective_calls_per_step": traffic["calls_per_step"],
+                **pred,
+            }
+            print(
+                f"  {n_dev} dev: {traffic['bytes_per_step'] / 1e6:.3f} "
+                f"MB/step/rank, {traffic['calls_per_step']:.0f} "
+                f"collectives/step -> {pred['predicted_ms_per_step']:.3f} "
+                f"ms/step, eff {pred['parallel_efficiency'] * 100:.1f}%",
+                flush=True,
+            )
+        out["experiments"][f"{nx}x{nx}_{psolver}"] = row
+
+    path = Path(__file__).resolve().parent.parent / "docs" / "ici_budget.json"
+    path.write_text(json.dumps(out, indent=1))
+    print(f"wrote {path}")
+
+
+if __name__ == "__main__":
+    main()
