@@ -13,6 +13,7 @@ Resumable: existing HDF5 groups are skipped. Run from the repo root:
 """
 
 import argparse
+import json
 import os
 import sys
 import time
@@ -114,6 +115,17 @@ def run_training():
     print("exported:", paths, flush=True)
     print(f"EVAL avg_mae={ev['avg_mae']:.4f} avg_nmae={ev['avg_nmae_pct']:.2f}%"
           f" (reference published 0.0048 / 0.32%)", flush=True)
+    # record the held-out eval next to the rest of the family so the
+    # artifact quality gate (tests/test_artifacts.py) can re-assert it
+    record = {"lr_dim": LR_DIM, "train_samples": int(train_mask.sum()),
+              "avg_mae": ev["avg_mae"], "avg_nmae_pct": ev["avg_nmae_pct"],
+              "train_seconds": round(result.seconds, 1)}
+    out = os.path.join(ART_DIR, "family_eval.json")
+    existing = json.load(open(out)) if os.path.exists(out) else []
+    existing = [r for r in existing if r.get("lr_dim") != LR_DIM] + [record]
+    existing.sort(key=lambda r: r["lr_dim"])
+    json.dump(existing, open(out, "w"), indent=2)
+    print("recorded eval in", out, flush=True)
 
 
 if __name__ == "__main__":

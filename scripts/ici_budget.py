@@ -44,17 +44,55 @@ from sr_for_cfd_tpu.parallel.comm_budget import (  # noqa: E402
 )
 from sr_for_cfd_tpu.solver.cases import make_cavity_solver  # noqa: E402
 
-# (nx, pressure_solver, single-chip ms/step, trip-count window)
-# ms/step provenance: 400^2 rows from bench.py at HEAD (multigrid 0.407
-# is the jnp path, mg_pallas 0.370; sweeps 'parity' mode 2.536); larger
-# rows are docs/scaling_bench.json mg_pallas (the flagship Pallas path).
+# (nx, pressure_solver, ms/step source, trip-count window). ms/step is
+# read at RUN TIME from the recorded bench artifacts so re-running the
+# benches cannot silently de-sync this script (ADVICE r3):
+#   * "bench:<mode>"   -> BENCH json at the repo root (400^2 modes)
+#   * "scaling:<key>"  -> docs/scaling_bench.json row for this size
+# Each source names the COMPUTE PATH the timing came from, recorded in
+# the output. The 400^2 multigrid row pairs the jnp-chunk census/trips
+# with the jnp "multigrid" bench mode (not mg_pallas) - same program.
 EXPERIMENTS = [
-    (400, "sweeps", 2.536, 6),
-    (400, "multigrid", 0.370, 6),
-    (1024, "multigrid", 1.967, 3),
-    (2048, "multigrid", 7.856, 2),
+    (400, "sweeps", "bench:parity", 6),
+    (400, "multigrid", "bench:multigrid", 6),
+    (1024, "multigrid", "scaling:multigrid_ms_per_step", 3),
+    (2048, "multigrid", "scaling:multigrid_ms_per_step", 2),
 ]
 DEVICE_COUNTS = (2, 4, 8)
+
+ROOT = Path(__file__).resolve().parent.parent
+
+
+def _latest_bench() -> Path:
+    cands = sorted(ROOT.glob("BENCH_r*.json"))
+    if not cands:
+        raise FileNotFoundError("no BENCH_r*.json at the repo root")
+    return cands[-1]
+
+
+def resolve_ms_per_step(nx: int, source: str):
+    """Read the recorded single-chip ms/step named by `source`, failing
+    loudly if the row is missing. Returns (ms_per_step, provenance)."""
+    kind, _, key = source.partition(":")
+    if kind == "bench":
+        path = _latest_bench()
+        data = json.loads(path.read_text())
+        # the round driver wraps bench.py's JSON line under "parsed"
+        data = data.get("parsed", data)
+        modes = data.get("modes", {})
+        if key not in modes or "device_ms_per_step" not in modes[key]:
+            raise KeyError(f"mode {key!r} missing from {path.name}")
+        return (float(modes[key]["device_ms_per_step"]),
+                f"{path.name}:modes.{key}.device_ms_per_step")
+    if kind == "scaling":
+        path = ROOT / "docs" / "scaling_bench.json"
+        data = json.loads(path.read_text())
+        row = data.get(f"{nx}x{nx}", {})
+        if row.get(key) is None:
+            raise KeyError(
+                f"{nx}x{nx}.{key} missing/null in docs/scaling_bench.json")
+        return float(row[key]), f"docs/scaling_bench.json:{nx}x{nx}.{key}"
+    raise ValueError(f"unknown ms/step source {source!r}")
 
 
 def main() -> None:
@@ -70,16 +108,19 @@ def main() -> None:
         ),
         "experiments": {},
     }
-    for nx, psolver, ms_single, window in EXPERIMENTS:
+    for nx, psolver, ms_source, window in EXPERIMENTS:
+        ms_single, provenance = resolve_ms_per_step(nx, ms_source)
         case = make_cavity_solver(
             Re=1000.0, nx=nx, ny=nx, dt=1e-3, scheme="QUICK",
             dtype="float32", pressure_solver=psolver,
         ).case
-        print(f"== {nx}x{nx} {psolver}: measuring {window}-step trip "
-              "window...", flush=True)
+        print(f"== {nx}x{nx} {psolver} ({ms_single} ms/step from "
+              f"{provenance}): measuring {window}-step trip window...",
+              flush=True)
         trips = measured_inner_trips(case, n_steps=window)
         row = {
             "single_chip_ms_per_step": ms_single,
+            "ms_per_step_source": provenance,
             "trips_per_step": trips,
             "trip_window_steps": window,
             "meshes": {},
@@ -91,6 +132,8 @@ def main() -> None:
             pred = predict_scaling(ms_single, traffic, n_dev)
             row["meshes"][str(n_dev)] = {
                 "per_rank_bytes_per_step": traffic["bytes_per_step"],
+                "per_rank_halo_bytes_per_step": traffic["halo_bytes_per_step"],
+                "per_rank_reduce_bytes_per_step": traffic["reduce_bytes_per_step"],
                 "collective_calls_per_step": traffic["calls_per_step"],
                 **pred,
             }

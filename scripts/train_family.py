@@ -134,4 +134,12 @@ if __name__ == "__main__":
         existing = (json.load(open(out)) if os.path.exists(out) else [])
         json.dump(existing + summary, open(out, "w"), indent=2)
         print("wrote", out, flush=True)
-    print("FAMILY_DONE", flush=True)
+    # family-completeness gate: every trained pair must ship the msgpack
+    # triple + .h5 triple + stats (reference export cell; VERDICT r3 #7)
+    from sr_for_cfd_tpu.workflow.training import missing_family_artifacts
+
+    incomplete = missing_family_artifacts(ART_DIR)
+    if incomplete:
+        print(f"FAMILY_INCOMPLETE {json.dumps(incomplete)}", flush=True)
+        sys.exit(1)
+    print("FAMILY_DONE (artifact set complete)", flush=True)

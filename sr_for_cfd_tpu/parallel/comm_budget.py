@@ -40,6 +40,7 @@ __all__ = [
     "census_collectives",
     "spmd_chunk_census",
     "measured_inner_trips",
+    "effective_momentum_cadence",
     "step_traffic",
     "IciParams",
     "predict_scaling",
@@ -96,6 +97,19 @@ class LoopCensus(NamedTuple):
         latency-bound, not bandwidth-bound)."""
         return sum(s.calls for s in self.sites)
 
+    def per_trip_by_kind(self) -> Dict[str, Tuple[int, int]]:
+        """(bytes, calls) per trip split into 'halo' (ppermute -
+        neighbor exchange, one hop, low/high halos ride distinct links)
+        and 'reduce' (psum/pmax/all_gather/reduce_scatter/... - ring
+        algorithms whose hop and wire-byte cost grow with the device
+        count). The split drives `predict_scaling`'s cost model."""
+        out = {"halo": [0, 0], "reduce": [0, 0]}
+        for s in self.sites:
+            kind = "halo" if s.name.startswith("ppermute") else "reduce"
+            out[kind][0] += s.payload_bytes * s.calls
+            out[kind][1] += s.calls
+        return {k: (v[0], v[1]) for k, v in out.items()}
+
 
 def _payload(eqn) -> int:
     return sum(
@@ -126,8 +140,9 @@ def _walk(jaxpr) -> LoopCensus:
     * `cond`: collectives inside branches would deadlock a mesh unless
       every rank takes the same branch; the codebase keeps collectives
       OUTSIDE conds (see spmd_step.rre_stage's docstring), so branch
-      sites are counted at the max across branches as a conservative
-      bound, never dropped.
+      sites are merged at the PER-SITE max across branches - both the
+      byte floor and the call (latency) floor stay conservative even
+      when one branch has more calls and another more bytes.
     * anything else with a sub-jaxpr (pjit, shard_map, closed_call,
       custom_* wrappers): transparent."""
     sites: Dict[Tuple[str, int], int] = {}
@@ -156,10 +171,14 @@ def _walk(jaxpr) -> LoopCensus:
             loops.extend(inner.loops)
         elif name == "cond":
             branches = [_walk(_jaxpr_of(b)) for b in eqn.params["branches"]]
-            worst = max(branches, key=lambda c: c.per_trip_bytes())
-            _merge(sites, worst.sites, 1)
+            merged_max: Dict[Tuple[str, int], int] = {}
             for b in branches:
+                for s in b.sites:
+                    key = (s.name, s.payload_bytes)
+                    merged_max[key] = max(merged_max.get(key, 0), s.calls)
                 loops.extend(b.loops)
+            _merge(sites,
+                   [Site(n, b_, c) for (n, b_), c in merged_max.items()], 1)
         else:
             for p in eqn.params.values():
                 vals = p if isinstance(p, (list, tuple)) else [p]
@@ -233,6 +252,28 @@ def measured_inner_trips(
     return {k: v / n_steps for k, v in totals.items()}
 
 
+def effective_momentum_cadence(case) -> int:
+    """The momentum check cadence the compiled solver ACTUALLY runs.
+
+    The big-grid tiled Pallas momentum path silently coerces
+    `momentum_check_every` to >= 3 (solver/simple.py, multi-sweep kernel
+    passes), so `measured_inner_trips` returns sweep counts in multiples
+    of 3 for such cases; dividing by the configured cadence (often 1)
+    would overstate momentum traffic ~3x."""
+    from ..solver.simple import STREAM_MG_CELL_THRESHOLD
+
+    st = case.settings
+    mesh = case.mesh
+    big_grid_pallas = st.use_pallas and (
+        st.mg_slab_rows > 0
+        or mesh.nx * mesh.ny > STREAM_MG_CELL_THRESHOLD
+    )
+    if (big_grid_pallas and st.inner_scheme == "redblack"
+            and st.dtype == "float32"):
+        return max(3, st.momentum_check_every)
+    return st.momentum_check_every
+
+
 def step_traffic(
     chunk: LoopCensus, trips: Dict[str, float], case=None
 ) -> Dict[str, float]:
@@ -242,12 +283,15 @@ def step_traffic(
     `measured_inner_trips` (keys 'u','v','p' matching the chunk's inner
     loops in program order). Returns bytes and collective-call counts -
     calls bound the latency floor (each dependent collective is >= one
-    ICI hop), bytes bound the bandwidth floor.
+    ICI hop), bytes bound the bandwidth floor - split into 'halo'
+    (ppermute) and 'reduce' (everything else) so `predict_scaling` can
+    cost rings and neighbor exchanges differently.
 
     `measured_inner_trips` counts SWEEPS, but a census loop trip covers
     `check_every` sweeps (the loop body unrolls them - its per-trip
     bytes already include the whole batch), so pass `case` to convert:
-    trips_of_loop = sweeps / {momentum,pressure}_check_every."""
+    trips_of_loop = sweeps / {momentum,pressure}_check_every (momentum
+    via `effective_momentum_cadence` - the tiled Pallas path coerces it)."""
     if len(chunk.loops) != 3:
         raise ValueError(
             f"expected 3 inner loops (u, v, p), found {len(chunk.loops)}"
@@ -261,15 +305,17 @@ def step_traffic(
             if st.pressure_solver == "sweeps"
             else 1
         )
+        m_div = effective_momentum_cadence(case)
         trips = {
-            "u": trips["u"] / st.momentum_check_every,
-            "v": trips["v"] / st.momentum_check_every,
+            "u": trips["u"] / m_div,
+            "v": trips["v"] / m_div,
             "p": trips["p"] / p_div,
         }
     names = ("u", "v", "p")
     by_loop = {}
-    total_bytes = chunk.per_trip_bytes()
-    total_calls = float(chunk.per_trip_calls())
+    kinds = chunk.per_trip_by_kind()
+    halo_bytes, halo_calls = map(float, kinds["halo"])
+    reduce_bytes, reduce_calls = map(float, kinds["reduce"])
     for name, loop in zip(names, chunk.loops):
         # nested unknown-trip loops inside an inner solve would make the
         # budget under-read; the current chunks have none, assert so
@@ -278,14 +324,23 @@ def step_traffic(
                 f"inner loop {name!r} has {len(loop.loops)} nested "
                 "unknown-trip loops; extend step_traffic with their counts"
             )
-        b = loop.per_trip_bytes() * trips[name]
-        c = loop.per_trip_calls() * trips[name]
-        by_loop[name] = {"bytes": b, "calls": c, "trips": trips[name]}
-        total_bytes += b
-        total_calls += c
+        k = loop.per_trip_by_kind()
+        by_loop[name] = {
+            "bytes": loop.per_trip_bytes() * trips[name],
+            "calls": loop.per_trip_calls() * trips[name],
+            "trips": trips[name],
+        }
+        halo_bytes += k["halo"][0] * trips[name]
+        halo_calls += k["halo"][1] * trips[name]
+        reduce_bytes += k["reduce"][0] * trips[name]
+        reduce_calls += k["reduce"][1] * trips[name]
     return {
-        "bytes_per_step": total_bytes,
-        "calls_per_step": total_calls,
+        "bytes_per_step": halo_bytes + reduce_bytes,
+        "calls_per_step": halo_calls + reduce_calls,
+        "halo_bytes_per_step": halo_bytes,
+        "halo_calls_per_step": halo_calls,
+        "reduce_bytes_per_step": reduce_bytes,
+        "reduce_calls_per_step": reduce_calls,
         "step_level_bytes": chunk.per_trip_bytes(),
         "inner": by_loop,
     }
@@ -311,20 +366,34 @@ def predict_scaling(
 ) -> Dict[str, float]:
     """Predicted multi-chip step time: Amdahl compute + ICI comm.
 
-    The 1-D ring decomposition sends each rank's low/high halos on
-    DISTINCT links concurrently, so the bandwidth term is the one-
-    direction payload (bytes/2) over one link; the latency term is one
-    hop per dependent collective round (they serialize - each sweep
-    needs its neighbor's previous sweep). Comm does not overlap compute
-    (the sweeps are data-dependent on the halos), so the terms add -
-    this is the PESSIMISTIC bound; XLA may overlap the step-level
-    collectives. `parallel_fraction` discounts any per-step work that
-    does not decompose (1.0 for the SIMPLE step: every stage shards)."""
+    Two collective cost models, keyed on the census split:
+
+    * halo (`ppermute`): the 1-D ring decomposition sends each rank's
+      low/high halos on DISTINCT links concurrently, so the bandwidth
+      term is the one-direction payload (bytes/2) over one link, and
+      each exchange is one neighbor hop of latency.
+    * reductions (`psum`/`pmax`/`all_gather`/`reduce_scatter`/...): a
+      ring allreduce over N devices moves ~2(N-1)/N x the local payload
+      per rank over the wire and takes ~2(N-1) dependent hops, so BOTH
+      terms grow with the device count (an earlier revision charged one
+      hop and local bytes, which grew optimistic with N).
+
+    Comm does not overlap compute (the sweeps are data-dependent on the
+    halos), so the terms add - this is the PESSIMISTIC bound; XLA may
+    overlap the step-level collectives. `parallel_fraction` discounts
+    any per-step work that does not decompose (1.0 for the SIMPLE step:
+    every stage shards)."""
     compute_s = single_chip_ms_per_step / 1e3 * (
         (1 - parallel_fraction) + parallel_fraction / n_devices
     )
-    bw_s = (traffic["bytes_per_step"] / 2.0) / params.link_bytes_per_s
-    lat_s = traffic["calls_per_step"] * params.hop_latency_s
+    halo_b = traffic.get("halo_bytes_per_step", traffic["bytes_per_step"])
+    halo_c = traffic.get("halo_calls_per_step", traffic["calls_per_step"])
+    red_b = traffic.get("reduce_bytes_per_step", 0.0)
+    red_c = traffic.get("reduce_calls_per_step", 0.0)
+    ring_wire = 2.0 * (n_devices - 1) / n_devices  # allreduce wire factor
+    ring_hops = 2.0 * (n_devices - 1)
+    bw_s = (halo_b / 2.0 + red_b * ring_wire) / params.link_bytes_per_s
+    lat_s = (halo_c + red_c * ring_hops) * params.hop_latency_s
     total_s = compute_s + bw_s + lat_s
     ideal_s = single_chip_ms_per_step / 1e3 / n_devices
     return {

@@ -12,6 +12,7 @@ mesh and XLA all-reduces gradients (DP), the TPU-native replacement
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass, field
 from functools import partial
@@ -326,6 +327,90 @@ def evaluate_for_re(
     return {"per_sample": results, "avg_mae": avg_mae, "avg_nmae_pct": avg_nmae}
 
 
+def evaluate_shipped_model(
+    lr_dim: int,
+    hr_dim: int,
+    suffix: str,
+    data_files: List[str],
+    eval_re: float = 800,
+    art_dir: str = "artifacts",
+    verbose: bool = False,
+) -> Dict:
+    """Held-out evaluation of a SHIPPED artifact pair: load the combined
+    .msgpack + stats .txt by the reference naming convention
+    (sr-ae-conv.ipynb export cell), standardize the held-out samples with
+    the shipped stats, and return the same MAE/NMAE report as
+    `evaluate_for_re`. This is the executable quality gate for the
+    artifacts/ family (VERDICT r3 weak #6): a corrupted or regressed
+    checkpoint fails the recorded numbers instead of shipping silently."""
+    from ..io.hdf5 import load_paired_reynolds_multi
+    from ..sr.inference import SRModel
+
+    stats = stz.read_stats_file(os.path.join(
+        art_dir, f"standardization_stats_{lr_dim}to{hr_dim}_{suffix}.txt"))
+    model = SRModel.from_checkpoint(
+        os.path.join(art_dir,
+                     f"vanilla_superres_{lr_dim}to{hr_dim}_{suffix}.msgpack"),
+        lr_dim, hr_dim)
+    x_lr, x_hr, res, comps, _ = load_paired_reynolds_multi(
+        data_files, lr_dim, hr_dim)
+    keep = res == eval_re
+    x_lr, x_hr, res, comps = x_lr[keep], x_hr[keep], res[keep], comps[keep]
+    if len(x_lr) == 0:
+        raise ValueError(f"no Re={eval_re} samples in {data_files}")
+    z_lr = np.empty_like(x_lr)
+    z_hr = np.empty_like(x_hr)
+    for comp in stz.COMPONENTS:
+        m = comps == comp
+        if not m.any():
+            continue
+        z_lr[m] = stz.standardize_with_stats(
+            x_lr[m], stats[f"mean{lr_dim}_{comp}"], stats[f"std{lr_dim}_{comp}"])
+        z_hr[m] = stz.standardize_with_stats(
+            x_hr[m], stats[f"mean{hr_dim}_{comp}"], stats[f"std{hr_dim}_{comp}"])
+    return evaluate_for_re(
+        eval_re, model.module, model.params, z_lr, z_hr, res, comps,
+        stats, lr_dim, hr_dim, verbose=verbose)
+
+
+def family_artifact_paths(lr_dim: int, hr_dim: int, suffix: str,
+                          art_dir: str = "artifacts") -> Dict[str, str]:
+    """The complete artifact set one trained pair must ship: msgpack triple
+    + Keras .h5 triple + stats .txt (reference export cell,
+    sr-ae-conv.ipynb: encoder, decoder AND combined model for every pair)."""
+    names = {
+        "encoder": f"vanilla_encoder{lr_dim}_to_{hr_dim}_{suffix}.msgpack",
+        "decoder": f"vanilla_decoder{hr_dim}_from_{lr_dim}_{suffix}.msgpack",
+        "combined": f"vanilla_superres_{lr_dim}to{hr_dim}_{suffix}.msgpack",
+        "encoder_h5": f"vanilla_encoder{lr_dim}_to_{hr_dim}_{suffix}.h5",
+        "decoder_h5": f"vanilla_decoder{hr_dim}_from_{lr_dim}_{suffix}.h5",
+        "combined_h5": f"superresolution{lr_dim}to{hr_dim}_{suffix}.h5",
+        "stats": f"standardization_stats_{lr_dim}to{hr_dim}_{suffix}.txt",
+    }
+    return {k: os.path.join(art_dir, v) for k, v in names.items()}
+
+
+def missing_family_artifacts(art_dir: str = "artifacts") -> Dict[str, List[str]]:
+    """Scan art_dir for trained pairs (keyed on the combined .msgpack) and
+    report which of each pair's required artifacts are absent. Empty dict
+    = family complete. Used by scripts/train_family.py and the artifact
+    completeness test (VERDICT r3 missing #3)."""
+    import re as _re
+
+    missing: Dict[str, List[str]] = {}
+    pat = _re.compile(r"vanilla_superres_(\d+)to(\d+)_(.+)\.msgpack$")
+    for fname in sorted(os.listdir(art_dir)):
+        m = pat.match(fname)
+        if not m:
+            continue
+        lr_dim, hr_dim, suffix = int(m.group(1)), int(m.group(2)), m.group(3)
+        paths = family_artifact_paths(lr_dim, hr_dim, suffix, art_dir)
+        absent = [k for k, p in paths.items() if not os.path.exists(p)]
+        if absent:
+            missing[f"{lr_dim}to{hr_dim}_{suffix}"] = absent
+    return missing
+
+
 def export_models(
     result: TrainResult,
     stats: Dict[str, float],
@@ -337,8 +422,6 @@ def export_models(
     """Save encoder / decoder / combined checkpoints + stats .txt with the
     reference's artifact naming (sr-ae-conv.ipynb export cell), using
     .msgpack for the Flax weights."""
-    import os
-
     from ..io.checkpoint import save_params
 
     os.makedirs(out_dir, exist_ok=True)

@@ -15,6 +15,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from sr_for_cfd_tpu.parallel.comm_budget import (
     IciParams,
     census_collectives,
+    effective_momentum_cadence,
     measured_inner_trips,
     predict_scaling,
     spmd_chunk_census,
@@ -146,6 +147,67 @@ def test_budget_end_to_end_with_measured_trips(small_case, small_chunk):
         pred["compute_ms"] + pred["ici_bandwidth_ms"]
         + pred["ici_latency_ms"]
     )
+
+
+def test_cond_branches_merge_per_site_max():
+    """cond branches merge at the PER-SITE max: a branch with more calls
+    and a branch with more bytes must BOTH bound the census (ADVICE r3:
+    picking the worst branch by bytes alone under-counted the latency
+    floor)."""
+    mesh = _mesh()
+
+    def fn(x):
+        def many_small(y):  # 3 scalar psums = 12 B, 3 calls
+            for _ in range(3):
+                y = y + jax.lax.psum(jnp.sum(y), "x")
+            return y
+
+        def one_big(y):  # 1 row ppermute = 64 B, 1 call
+            fwd = [(i, (i + 1) % N_DEV) for i in range(N_DEV)]
+            return y + jax.lax.ppermute(y[:1], "x", fwd).sum()
+
+        return jax.lax.cond(jnp.sum(x) > 0, one_big, many_small, x)
+
+    wrapped = jax.jit(
+        jax.shard_map(fn, mesh=mesh, in_specs=P("x"), out_specs=P("x"))
+    )
+    top = census_collectives(wrapped, jnp.ones((8, 16), jnp.float32))
+    assert top.per_trip_calls() >= 4  # 3 psums AND the ppermute
+    kinds = top.per_trip_by_kind()
+    assert kinds["halo"][0] >= 64 and kinds["reduce"][0] >= 12
+
+
+def test_traffic_split_and_ring_scaling(small_case, small_chunk):
+    """Halo vs reduction split: reductions pay ring wire-bytes and hops
+    that GROW with the device count (ADVICE r3 medium), so a reduction-
+    heavy program's comm time must not shrink as devices are added."""
+    trips = {"u": 3.0, "v": 3.0, "p": 50.0}
+    t = step_traffic(small_chunk, trips, small_case)
+    assert t["bytes_per_step"] == pytest.approx(
+        t["halo_bytes_per_step"] + t["reduce_bytes_per_step"])
+    assert t["halo_bytes_per_step"] > 0  # ppermute halos exist
+    assert t["reduce_bytes_per_step"] > 0  # residual psums exist
+    p2 = predict_scaling(0.27, t, 2)
+    p8 = predict_scaling(0.27, t, 8)
+    # ring hops grow ~2(N-1): the latency term must grow with N
+    assert p8["ici_latency_ms"] > p2["ici_latency_ms"]
+    # and the reduction wire factor 2(N-1)/N grows from 1.0 toward 2.0
+    assert p8["ici_bandwidth_ms"] > p2["ici_bandwidth_ms"]
+
+
+def test_effective_momentum_cadence():
+    """The tiled Pallas momentum path coerces the cadence to >= 3
+    (solver/simple.py); the budget must divide measured sweep counts by
+    the cadence the compiled program actually runs (ADVICE r3 low)."""
+    plain = make_cavity_solver(nx=40, ny=40, Re=100).case
+    assert (effective_momentum_cadence(plain)
+            == plain.settings.momentum_check_every)
+    big = make_cavity_solver(
+        nx=3072, ny=3072, Re=100, use_pallas=True, dtype="float32",
+        pressure_solver="multigrid",
+    ).case
+    assert effective_momentum_cadence(big) == max(
+        3, big.settings.momentum_check_every)
 
 
 def test_multigrid_mode_census(small_case):
