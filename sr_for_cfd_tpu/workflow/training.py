@@ -55,10 +55,11 @@ def train_step(params, opt_state, x_lr, x_hr, model: SuperResolutionAE, tx):
     return params, opt_state, loss
 
 
-@partial(jax.jit, static_argnames=("model", "tx"))
+@partial(jax.jit, static_argnames=("model", "tx", "batch_sh"))
 def _train_block(
     params, opt_state, best_loss, best_epoch, best_params,
     x_lr, x_hr, idx, epoch0, model: SuperResolutionAE, tx,
+    batch_sh=None,
 ):
     """Run a block of epochs entirely on-device.
 
@@ -71,11 +72,22 @@ def _train_block(
     Best-epoch tracking (`keep_best`) rides in the carry so the early
     stopping semantics are identical to the host-loop version. Returns
     (params, opt_state, best_loss, best_epoch, best_params, epoch_means).
+
+    `batch_sh` (static, a NamedSharding over the 'dp' axis or None) is
+    the data-parallel mode: the dataset and params stay replicated, each
+    step's gathered batch is constrained to shard over 'dp', and GSPMD
+    inserts the gradient all-reduce - the whole multi-device epoch block
+    is still ONE dispatch (the reference's `fit` is one call; the r3 DP
+    path was a per-step host loop with a float(loss) sync per batch).
     """
 
     def step_body(c, ix):
         p, o = c
-        p, o, loss = train_step(p, o, x_lr[ix], x_hr[ix], model=model, tx=tx)
+        bx, by = x_lr[ix], x_hr[ix]
+        if batch_sh is not None:
+            bx = jax.lax.with_sharding_constraint(bx, batch_sh)
+            by = jax.lax.with_sharding_constraint(by, batch_sh)
+        p, o, loss = train_step(p, o, bx, by, model=model, tx=tx)
         return (p, o), loss
 
     def epoch_body(carry, ep_idx):
@@ -193,6 +205,7 @@ def train_sr_autoencoder(
     tx = optax.adam(learning_rate)
     opt_state = tx.init(params)
 
+    bsh = None
     if mesh is not None:
         bsh = batch_sharding(mesh)
         rep = replicated(mesh)
@@ -209,68 +222,52 @@ def train_sr_autoencoder(
     t0 = time.time()
     history: List[float] = []
 
-    if mesh is None:
-        # single-device fast path: whole log_every-epoch blocks run as one
-        # on-device scan dispatch (see _train_block); the full dataset
-        # lives in HBM and batches are device-side gathers
-        block_size = max(1, log_every)  # also the scan-block length
-        x_lr_d = jnp.asarray(x_lr)
-        x_hr_d = jnp.asarray(x_hr)
-        best_loss = jnp.asarray(jnp.inf, jnp.float32)
-        best_epoch = jnp.asarray(-1, jnp.int32)
-        best_params = params
-        epoch = 0
-        while epoch < epochs:
-            block = min(block_size, epochs - epoch)
-            per_epoch = steps * batch_size
-            reps = -(-per_epoch // n)  # wrap-around when n < batch_size
-            idx = np.stack([
-                np.tile(rng.permutation(n), reps)[:per_epoch].reshape(
-                    steps, batch_size
-                )
-                for _ in range(block)
-            ]).astype(np.int32)
-            (params, opt_state, best_loss, best_epoch, best_params,
-             means) = _train_block(
-                params, opt_state, best_loss, best_epoch, best_params,
-                x_lr_d, x_hr_d, jnp.asarray(idx),
-                jnp.asarray(epoch, jnp.int32), model=model, tx=tx,
+    # whole log_every-epoch blocks run as one on-device scan dispatch
+    # (see _train_block); the full dataset lives in HBM (replicated over
+    # the mesh in DP mode) and batches are device-side gathers, sharded
+    # over 'dp' via the in-block constraint. Single-device and DP are the
+    # SAME code path - DP differs only by the static batch sharding.
+    block_size = max(1, log_every)  # also the scan-block length
+    x_lr_d = jnp.asarray(x_lr)
+    x_hr_d = jnp.asarray(x_hr)
+    if mesh is not None:
+        x_lr_d = jax.device_put(x_lr_d, rep)
+        x_hr_d = jax.device_put(x_hr_d, rep)
+    best_loss = jnp.asarray(jnp.inf, jnp.float32)
+    best_epoch = jnp.asarray(-1, jnp.int32)
+    best_params = params
+    epoch = 0
+    while epoch < epochs:
+        block = min(block_size, epochs - epoch)
+        per_epoch = steps * batch_size
+        reps = -(-per_epoch // n)  # wrap-around when n < batch_size
+        idx = np.stack([
+            np.tile(rng.permutation(n), reps)[:per_epoch].reshape(
+                steps, batch_size
             )
-            history.extend(float(m) for m in np.asarray(means))
-            epoch += block
-            if verbose:
-                print(f"  epoch {epoch}/{epochs} "
-                      f"recon_loss={history[-1]:.6f}", flush=True)
-        final_params = best_params if keep_best else params
-        return TrainResult(
-            params=final_params, model=model, loss_history=history,
-            seconds=time.time() - t0, best_epoch=int(best_epoch),
-            best_loss=float(best_loss),
+            for _ in range(block)
+        ]).astype(np.int32)
+        idx_d = jnp.asarray(idx)
+        epoch0 = jnp.asarray(epoch, jnp.int32)
+        if mesh is not None:
+            idx_d = jax.device_put(idx_d, rep)
+            epoch0 = jax.device_put(epoch0, rep)
+        (params, opt_state, best_loss, best_epoch, best_params,
+         means) = _train_block(
+            params, opt_state, best_loss, best_epoch, best_params,
+            x_lr_d, x_hr_d, idx_d, epoch0, model=model, tx=tx,
+            batch_sh=bsh,
         )
-
-    # mesh (DP) path: per-step dispatch with explicitly sharded batches
-    step_fn = partial(train_step, model=model, tx=tx)
-    best_loss, best_epoch, best_params = float("inf"), -1, params
-    for epoch in range(epochs):
-        perm = rng.permutation(n)
-        epoch_loss = 0.0
-        for s in range(steps):
-            idx = perm[(s * batch_size) % n : (s * batch_size) % n + batch_size]
-            if len(idx) < batch_size:  # wrap-around to keep shapes static
-                idx = np.concatenate([idx, perm[: batch_size - len(idx)]])
-            bx = jax.device_put(jnp.asarray(x_lr[idx]), bsh)
-            by = jax.device_put(jnp.asarray(x_hr[idx]), bsh)
-            params, opt_state, loss = step_fn(params, opt_state, bx, by)
-            epoch_loss += float(loss)
-        history.append(epoch_loss / steps)
-        if keep_best and history[-1] < best_loss:
-            best_loss, best_epoch, best_params = history[-1], epoch, params
-        if verbose and (epoch + 1) % log_every == 0:
-            print(f"  epoch {epoch + 1}/{epochs} recon_loss={history[-1]:.6f}")
+        history.extend(float(m) for m in np.asarray(means))
+        epoch += block
+        if verbose:
+            print(f"  epoch {epoch}/{epochs} "
+                  f"recon_loss={history[-1]:.6f}", flush=True)
     final_params = best_params if keep_best else params
     return TrainResult(
         params=final_params, model=model, loss_history=history,
-        seconds=time.time() - t0, best_epoch=best_epoch, best_loss=best_loss,
+        seconds=time.time() - t0, best_epoch=int(best_epoch),
+        best_loss=float(best_loss),
     )
 
 
