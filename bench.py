@@ -36,9 +36,17 @@ unit / vs_baseline; everything else is supplementary):
     VPU FLOP/s [8x128 lanes x 4 ALUs x 2 (FMA) x ~0.94 GHz, estimate] and
     8.1e11 HBM B/s).
 
-BENCH_MODE=multigrid|mg_pallas|fused_mg|parity restricts to one mode
-(Pallas modes are TPU-only); BENCH_ITERS sets the
+BENCH_MODE=multigrid|mg_pallas|fused_mg|parity|bfs restricts to one mode
+(Pallas modes and bfs are TPU-only); BENCH_ITERS sets the
 per-rep iteration budget.
+
+Two supplementary blocks (VERDICT r3 weak #4/#5):
+  * `bfs` - the BFS north-star kernel mix (UPWIND + under-relaxation +
+    semi-coarsened multigrid, 10x3 domain, 400x400), parity-gated fused
+    vs jnp and timed like the cavity modes;
+  * `ici_budget` - predicted 2/4/8-chip iters/s from the recorded jaxpr
+    collective census (docs/ici_budget.json), with the 400^2 rows
+    re-predicted from THIS run's measured ms/step.
 """
 
 import json
@@ -134,6 +142,157 @@ def _time_mode(mode):
     best = min(per_step)
     median = sorted(per_step)[len(per_step) // 2]
     return 1.0 / best, best * 1e3, median * 1e3
+
+
+def _build_bfs(fused, n_iters):
+    """BFS north-star kernel mix (VERDICT r3 weak #5): UPWIND +
+    under-relaxation (0.5/0.5/0.2) + anisotropy-aware semi-coarsened
+    multigrid on the 10x3 domain at 400x400 - the reference's second
+    first-class case (`bfs code given by sir.py:810-864`), configured
+    exactly like the north-star demo's fine phase."""
+    import jax
+
+    from sr_for_cfd_tpu.solver.cases import make_bfs_solver
+
+    return make_bfs_solver(
+        Re=400.0, nx=NX, ny=NY, dt=2e-3, scheme="UPWIND", dtype="float32",
+        max_iterations=n_iters, chunk_size=n_iters,
+        pressure_solver="multigrid",
+        fused_step=fused and jax.default_backend() == "tpu",
+    )
+
+
+def _time_bfs(fused):
+    """Same 3-rep perturbed-fresh-state timing as `_time_mode`, on the
+    BFS case."""
+    import jax.numpy as jnp
+
+    from sr_for_cfd_tpu.solver.state import init_state
+
+    def force(x):
+        return float(jnp.sum(x))
+
+    solver = _build_bfs(fused, BENCH_ITERS)
+    state = solver._chunk_fn(solver.state, solver.profile)
+    force(state.u)
+    per_step = []
+    for rep in range(3):
+        fresh = init_state(solver.case)
+        fresh = fresh._replace(
+            u=fresh.u.at[NX // 2, NY // 2].add(1e-7 * (rep + 1))
+        )
+        force(fresh.u)
+        t0 = time.time()
+        state = solver._chunk_fn(fresh, solver.profile)
+        force(state.u)
+        elapsed = time.time() - t0
+        iters = int(state.count)
+        if iters == BENCH_ITERS and elapsed / iters > 1e-5:
+            per_step.append(elapsed / iters)
+    if not per_step:
+        return 0.0, float("inf"), float("inf")
+    best = min(per_step)
+    median = sorted(per_step)[len(per_step) // 2]
+    return 1.0 / best, best * 1e3, median * 1e3
+
+
+def _bfs_parity_gate():
+    """On-TPU numeric gate for the BFS kernel mix: the fused Pallas step
+    (UPWIND + under-relaxation + BFS inlet + in-kernel V-cycle) must match
+    the jnp path after 2 outer iterations on a small BFS grid."""
+    import jax
+    import jax.numpy as jnp
+
+    def run(fused):
+        # small grid for the gate, same kernel mix as _build_bfs
+        from sr_for_cfd_tpu.solver.cases import make_bfs_solver
+
+        s = make_bfs_solver(
+            Re=400.0, nx=128, ny=128, dt=2e-3, scheme="UPWIND",
+            dtype="float32", max_iterations=2, chunk_size=2,
+            pressure_solver="multigrid",
+            fused_step=fused and jax.default_backend() == "tpu",
+        )
+        state = s._chunk_fn(s.state, s.profile)
+        jax.block_until_ready(state)
+        return state
+
+    ref, fused = run(False), run(True)
+    diff = max(
+        float(jnp.max(jnp.abs(ref.u - fused.u))),
+        float(jnp.max(jnp.abs(ref.v - fused.v))),
+        float(jnp.max(jnp.abs(ref.p - fused.p))),
+    )
+    return {"fused_bfs_step_max_abs_diff": diff, "ok": bool(diff <= 1e-4)}
+
+
+def _ici_budget_block(perf):
+    """Embed the recorded multi-chip ICI scaling predictions
+    (docs/ici_budget.json, produced by scripts/ici_budget.py from a jaxpr
+    census of the shard_map'd chunk) into the bench output so BENCH_r*.json
+    captures predicted iters/s-vs-devices round over round (VERDICT r3
+    weak #4). The 400^2 rows are re-predicted with THIS run's measured
+    ms/step (parity -> sweeps census, multigrid -> multigrid census); the
+    recorded traffic split (halo/reduce bytes+calls) makes that a pure
+    recomputation - no census re-run on the single-chip backend."""
+    from sr_for_cfd_tpu.parallel.comm_budget import IciParams, predict_scaling
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "docs", "ici_budget.json")
+    if not os.path.exists(path):
+        return {"error": "docs/ici_budget.json missing - run "
+                         "scripts/ici_budget.py"}
+    rec = json.load(open(path))
+    fresh_ms = {
+        "400x400_sweeps": perf.get("parity", {}).get("device_ms_per_step"),
+        "400x400_multigrid": perf.get("multigrid", {}).get(
+            "device_ms_per_step"),
+    }
+    out = {
+        "census_provenance": rec.get("method"),
+        "ici_params": rec.get("ici_params", IciParams()._asdict()),
+        "experiments": {},
+    }
+    for name, row in rec.get("experiments", {}).items():
+        ms = fresh_ms.get(name) or row["single_chip_ms_per_step"]
+        exp = {
+            "single_chip_ms_per_step": ms,
+            "ms_per_step_source": ("this_bench_run" if fresh_ms.get(name)
+                                   else row["ms_per_step_source"]),
+            "trips_per_step": row["trips_per_step"],
+            "predicted": {},
+        }
+        for n_dev, m in row["meshes"].items():
+            needed = ("halo_bytes_per_step", "halo_calls_per_step",
+                      "reduce_bytes_per_step", "reduce_calls_per_step")
+            traffic = {
+                "bytes_per_step": m["per_rank_bytes_per_step"],
+                "calls_per_step": m["collective_calls_per_step"],
+                "halo_bytes_per_step": m.get("per_rank_halo_bytes_per_step"),
+                "halo_calls_per_step": m.get("halo_calls_per_step"),
+                "reduce_bytes_per_step": m.get(
+                    "per_rank_reduce_bytes_per_step"),
+                "reduce_calls_per_step": m.get("reduce_calls_per_step"),
+            }
+            if any(traffic[k] is None for k in needed):
+                # stale recording without the split: keep as recorded
+                exp["predicted"][n_dev] = {
+                    k: m[k] for k in
+                    ("predicted_ms_per_step", "predicted_iters_per_sec",
+                     "parallel_efficiency") if k in m
+                }
+                continue
+            pred = predict_scaling(ms, traffic, int(n_dev))
+            exp["predicted"][n_dev] = {
+                "predicted_ms_per_step": round(
+                    pred["predicted_ms_per_step"], 4),
+                "predicted_iters_per_sec": round(
+                    1e3 / pred["predicted_ms_per_step"], 1),
+                "parallel_efficiency": round(
+                    pred["parallel_efficiency"], 4),
+            }
+        out["experiments"][name] = exp
+    return out
 
 
 def _pallas_parity_gate():
@@ -338,11 +497,12 @@ def main():
     default_modes = (["multigrid", "mg_pallas", "fused_mg",
                       "fused_mg_k10", "parity"]
                      if on_tpu else ["multigrid", "parity"])
-    modes = [only] if only else default_modes
+    modes = ([only] if only and only != "bfs" else
+             [] if only == "bfs" else default_modes)
 
     result = {}
 
-    if on_tpu:
+    if on_tpu and modes:  # cavity kernel gates (skipped in BENCH_MODE=bfs)
         result["pallas_parity"] = _pallas_parity_gate()
 
     perf = {}
@@ -354,7 +514,15 @@ def main():
                       "vs_baseline": round(ips / BASELINE_ITERS_PER_SEC, 2)}
 
     # counts measured on the ACTUAL benched paths: the fused kernels
-    # emit in-kernel loop counters (VERDICT r2 #6)
+    # emit in-kernel loop counters (VERDICT r2 #6). Skipped in
+    # BENCH_MODE=bfs (cavity counts/roofline are irrelevant there).
+    if modes:
+        _counts_roofline(result, perf, on_tpu)
+
+    _supplementary(result, perf, on_tpu, only)
+
+
+def _counts_roofline(result, perf, on_tpu):
     counts_sweeps = _inner_counts("parity" if on_tpu else "jnp-sweeps")
     counts_mg = _inner_counts("fused_mg" if on_tpu else "multigrid")
     result["inner_counts_per_outer_step"] = {
@@ -409,6 +577,10 @@ def main():
         result["roofline"]["multigrid_hbm_gb_per_sec_cost_model_bound"] = (
             round(mg_bytes / s_per_step / 1e9, 2))
 
+
+def _supplementary(result, perf, on_tpu, only):
+    import jax
+
     # directly MEASURED streaming bandwidth, by trip-count DIFFERENCING:
     # time the same jitted loop at two trip counts and divide the byte
     # delta by the time delta, so the ~25 ms relay round-trip per synced
@@ -421,7 +593,6 @@ def main():
     # iterations (measuring no HBM at all) - hence the loop-variant
     # scale and the 512 MiB operand.
     if on_tpu:
-        import jax
         import jax.numpy as jnp
         import numpy as _np
         from functools import partial as _partial
@@ -448,11 +619,37 @@ def main():
             return b
 
         t1, t2 = _best(n1), _best(n2)
-        result["roofline"]["measured_stream_bandwidth_gb_per_s"] = round(
+        rl = result.setdefault("roofline", {})
+        rl["measured_stream_bandwidth_gb_per_s"] = round(
             512 * 1024 * 1024 * (n2 - n1) / (t2 - t1) / 1e9, 1)
-        result["roofline"]["stream_bandwidth_method"] = (
+        rl["stream_bandwidth_method"] = (
             "trip-count differencing, 512 MiB pure-read, relay "
             "round-trip cancelled")
+
+    # BFS mode (VERDICT r3 weak #5): the north-star kernel mix, parity-
+    # gated and timed like the cavity modes. TPU-only (the fused path is
+    # Pallas; the jnp path at 1000 iters x 3 reps is minutes on CPU).
+    if on_tpu and (only is None or only == "bfs"):
+        bfs = {"parity": _bfs_parity_gate()}
+        for name, fused in (("multigrid", False), ("fused_mg", True)):
+            ips, ms, ms_med = _time_bfs(fused)
+            bfs[name] = {
+                "iters_per_sec": round(ips, 2),
+                "device_ms_per_step": round(ms, 3),
+                "ms_per_step_median_of_3": round(ms_med, 3),
+                # same per-outer-iteration convention as the cavity
+                # headline: the reference CPU rate is its 400^2 cavity
+                # 23.64 it/s (BASELINE.md; no controlled BFS rate was
+                # published - the BFS per-iteration kernel mix is
+                # comparable work)
+                "vs_baseline_cavity_cpu_rate": round(
+                    ips / BASELINE_ITERS_PER_SEC, 2),
+            }
+        result["bfs"] = bfs
+
+    # multi-chip ICI scaling predictions, recorded round over round
+    # (VERDICT r3 weak #4)
+    result["ici_budget"] = _ici_budget_block(perf)
 
     # headline = fastest multigrid-family mode (same solve-to-tolerance
     # algorithm; the fused kernel only removes launch latency)
@@ -460,8 +657,24 @@ def main():
                 for m in ("fused_mg_k10", "fused_mg", "mg_pallas",
                           "multigrid")
                 if m in perf]
-    headline = (max(mg_modes, key=lambda d: d["iters_per_sec"])
-                if mg_modes else perf[modes[0]])
+    if mg_modes:
+        headline = max(mg_modes, key=lambda d: d["iters_per_sec"])
+    elif perf:
+        headline = next(iter(perf.values()))
+    else:  # BENCH_MODE=bfs: headline the BFS kernel mix itself
+        b = result["bfs"]
+        best = max((b[m] for m in ("fused_mg", "multigrid") if m in b),
+                   key=lambda d: d["iters_per_sec"])
+        result.update({
+            "metric": "bfs_400x400_Re400_UPWIND_outer_iterations_per_sec",
+            "value": best["iters_per_sec"],
+            "unit": "iterations/sec",
+            "vs_baseline": best["vs_baseline_cavity_cpu_rate"],
+            "bench_iters": BENCH_ITERS,
+            "backend": jax.default_backend(),
+        })
+        print(json.dumps(result))
+        return
     result.update({
         "metric": "cavity_400x400_Re1050_QUICK_outer_iterations_per_sec",
         "value": headline["iters_per_sec"],

@@ -135,6 +135,11 @@ def main() -> None:
                 "per_rank_halo_bytes_per_step": traffic["halo_bytes_per_step"],
                 "per_rank_reduce_bytes_per_step": traffic["reduce_bytes_per_step"],
                 "collective_calls_per_step": traffic["calls_per_step"],
+                # full split so downstream consumers (bench.py's
+                # ici_budget block) can re-run predict_scaling with a
+                # freshly measured ms/step without re-doing the census
+                "halo_calls_per_step": traffic["halo_calls_per_step"],
+                "reduce_calls_per_step": traffic["reduce_calls_per_step"],
                 **pred,
             }
             print(

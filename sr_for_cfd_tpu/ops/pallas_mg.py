@@ -76,6 +76,78 @@ def _resize_matrix(n_in: int, n_out: int) -> np.ndarray:
     return np.ascontiguousarray(w.T.astype(np.float32))
 
 
+def _resize_matrix_traced(n_in: int, n_out: int, zero):
+    """`_resize_matrix` as TRACED ops: the same triangle-kernel weight
+    formula, seeded by `zero` - a traced f32 scalar equal to 0.0 - so the
+    (n_out, n_in) matrix is COMPUTED inside the program from two O(n)
+    iotas instead of being embedded as an O(n^2) stablehlo.constant.
+    Embedded constants are what broke 8192^2: the streamed hierarchy's
+    resident 2048-level sub-kernel carried ~28 MB of baked transfer
+    matrices, overflowing the environment's compile-request ceiling
+    (docs/STATUS.md r3). A plain eager jnp build would not help - ops on
+    concrete arrays run eagerly at trace time and re-enter the jaxpr as
+    constants; the traced seed is what keeps the build inside the program.
+    All arithmetic below is exact in f32 for the factor-2 transitions the
+    hierarchy produces (integer/half-integer operands), so parity with the
+    f64 numpy build is to 1 ulp at worst (tests/test_pallas_stream.py)."""
+    scale = n_out / n_in
+    inv_scale = 1.0 / scale
+    kernel_scale = max(inv_scale, 1.0)
+    sample_f = (jnp.arange(n_out, dtype=jnp.float32) + zero + 0.5) \
+        * inv_scale - 0.5
+    cols = jnp.arange(n_in, dtype=jnp.float32) + zero
+    x = jnp.abs(sample_f[None, :] - cols[:, None]) / kernel_scale
+    w = jnp.maximum(0.0, 1.0 - x)  # triangle kernel
+    tot = jnp.sum(w, axis=0, keepdims=True)
+    w = jnp.where(
+        jnp.abs(tot) > 1000.0 * np.finfo(np.float32).eps,
+        w / jnp.where(tot != 0.0, tot, 1.0),
+        0.0,
+    )
+    valid = (sample_f >= -0.5) & (sample_f <= n_in - 0.5)
+    return jnp.where(valid[None, :], w, 0.0).T
+
+
+# transfer matrices above this element count are computed in-program
+# (via `_resize_matrix_traced`) instead of baked in as constants; small
+# ones stay constants (they fold and cost nothing). 64k f32 = 256 KiB.
+MAT_CONST_MAX_ELEMS = 65536
+
+
+def computed_mats(plan: "MGPlan", zero, max_const_elems=MAT_CONST_MAX_ELEMS):
+    """`plan.mats` with every matrix above `max_const_elems` rebuilt as
+    traced ops (seeded by the traced-zero scalar `zero`). Mirrors
+    `plan_hierarchy`'s construction order exactly: per transition,
+    R_row (nc, nf) if x coarsens, Rc_T (mf, mc) if y coarsens,
+    P_row (nf, nc) if x, Pc_T (mc, mf) if y."""
+    out = []
+    i = 0
+    for lvl in range(len(plan.sizes) - 1):
+        nf, mf = plan.sizes[lvl]
+        nc, mc = plan.sizes[lvl + 1]
+        specs = []
+        if nf != nc:
+            specs.append(((nf, nc), False))   # R_row
+        if mf != mc:
+            specs.append(((mf, mc), True))    # Rc_T
+        if nf != nc:
+            specs.append(((nc, nf), False))   # P_row
+        if mf != mc:
+            specs.append(((mc, mf), True))    # Pc_T
+        for (n_in, n_out), transp in specs:
+            m = plan.mats[i]
+            i += 1
+            if m.size > max_const_elems:
+                mt = _resize_matrix_traced(n_in, n_out, zero)
+                m = mt.T if transp else mt
+            out.append(m)
+    if i != len(plan.mats):
+        raise AssertionError(
+            f"computed_mats walked {i} mats, plan has {len(plan.mats)} - "
+            "plan_hierarchy's construction order changed; update this")
+    return out
+
+
 def mxu_dot_f32(a, b):
     """f32-accurate matmul from three DEFAULT-precision MXU passes.
 

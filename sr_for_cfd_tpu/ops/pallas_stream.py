@@ -72,6 +72,7 @@ from jax.experimental.pallas import tpu as pltpu
 from .multigrid import MG_MAX_CYCLES, MG_SMOOTHER_SOR, ghost_fold
 from .pallas_mg import (
     MGPlan,
+    computed_mats,
     make_level_ops,
     mxu_dot_f32,
     plan_hierarchy,
@@ -685,6 +686,15 @@ def stream_mg_solve_pressure(
     plan = plan_hierarchy(nx, ny, dx, dy, volp, min_size=min_size)
     if len(plan.sizes) < 2:
         raise ValueError("grid too small for a multigrid hierarchy")
+    # big transfer matrices computed in-program instead of baked in as
+    # constants: at 8192^2 the baked sub-kernel matrices alone were
+    # ~28 MB of MLIR, overflowing the compile-request ceiling. The seed
+    # must be a TRACED exact zero (isfinite-guarded so a divergent field
+    # cannot poison it with 0 * inf = nan).
+    x00 = p[0, 0]
+    traced_zero = jnp.where(jnp.isfinite(x00), x00, 0.0) * 0.0
+    plan = MGPlan(plan.sizes, plan.spacings, plan.volp_levels,
+                  plan.scales, plan.idents, computed_mats(plan, traced_zero))
     if n_pre < 1 or n_post < 1:
         raise ValueError("the streamed V-cycle needs n_pre >= 1 and "
                          "n_post >= 1 (entry-rms and halo widths are "

@@ -18,6 +18,44 @@ from sr_for_cfd_tpu.ops.pallas_stream import stream_mg_solve_pressure
 from sr_for_cfd_tpu.ops.stencil import face_fluxes
 
 
+def test_traced_resize_matrices_match_numpy():
+    """`_resize_matrix_traced` (in-program transfer-matrix build; what
+    keeps the 8192^2 streamed program under the compile-request size
+    ceiling) must reproduce the f64 numpy build: bit-exact at the
+    hierarchy's factor-2 transitions, <= 1 ulp elsewhere. Also walks
+    `computed_mats` against a real plan: same order, same shapes, same
+    values."""
+    from sr_for_cfd_tpu.ops.pallas_mg import (
+        _resize_matrix_traced,
+        computed_mats,
+        plan_hierarchy,
+    )
+
+    for ni, no in ((2048, 1024), (1024, 2048), (400, 200), (194, 97),
+                   (97, 48), (48, 97), (12, 25)):
+        a = _resize_matrix(ni, no)
+        b = np.asarray(
+            jax.jit(lambda z, ni=ni, no=no: _resize_matrix_traced(ni, no, z))(
+                jnp.float32(0.0)))
+        # factor-2 transitions (what the hierarchy produces) are exact:
+        # every operand is an exact binary rational in f32. Non-factor-2
+        # ratios accumulate a few f32 ulp in the normalization (~2e-6
+        # measured) - far under the 1e-5 silicon parity gates.
+        tol = 0.0 if (ni == 2 * no or no == 2 * ni) else 5e-6
+        np.testing.assert_allclose(a, b, rtol=0.0, atol=tol)
+
+    plan = plan_hierarchy(512, 512, 1 / 512, 1 / 512, (1 / 512) ** 2)
+    cm = computed_mats(plan, jnp.float32(0.0))
+    assert len(cm) == len(plan.mats)
+    for m0, m1 in zip(plan.mats, cm):
+        assert m0.shape == tuple(m1.shape)
+        np.testing.assert_allclose(m0, np.asarray(m1), atol=1e-6)
+    # the big matrices really were swapped for computed ones
+    assert any(not isinstance(m, np.ndarray) for m in cm), (
+        "no matrix exceeded the constant threshold at 512^2 - threshold "
+        "drifted?")
+
+
 def test_fine_transfer_convs_match_resize_matrices():
     """The streamed kernel's stride-2 [1,3,3,1]/8 restriction conv (with
     1/7 boundary renormalization) and [0.75, 0.25] prolongation taps are
