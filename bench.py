@@ -492,6 +492,13 @@ def main():
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import jax
 
+    # persistent executable cache (same as scripts/run_demos.py): the
+    # bench compiles ~10 distinct 400^2 programs (5 cavity modes, 2 BFS
+    # modes, the parity-gate kernels); without this every invocation
+    # recompiles them all (~20+ min cold on the tunneled backend)
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     on_tpu = jax.default_backend() == "tpu"
     only = os.environ.get("BENCH_MODE")
     default_modes = (["multigrid", "mg_pallas", "fused_mg",

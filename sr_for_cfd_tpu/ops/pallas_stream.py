@@ -86,6 +86,25 @@ from .sweeps import stall_update, stalled
 # stream_mg_solve_pressure)
 SLAB_ROWS = 256
 
+# Silicon-proven slab envelope: R x W cells per slab that the streaming
+# passes (and the tiled momentum kernel) can double-buffer through VMEM.
+# R=256 @ W=4098 (4096^2) compiles and wins; R=256 @ W=8194 fails the TPU
+# compile helper (2026-08-19); R=64 and R=128 @ W=8194 both compile and
+# run. Keep the proven 4096^2 operating point as the ceiling.
+SLAB_CELLS_MAX = 256 * 4160
+
+
+def auto_slab_rows(requested: int, width: int) -> int:
+    """Clamp a requested slab height so R x `width` stays inside the
+    silicon-proven VMEM envelope (halving preserves the multiple-of-16
+    alignment). This is what lets `use_pallas=True` run 8192^2 out of the
+    box instead of failing compile at the default R=256 (VERDICT r3 #3)."""
+    r = requested
+    while r > 16 and r * width > SLAB_CELLS_MAX:
+        r //= 2
+    return max(16, r)
+
+
 # Ceiling (cells) on the TOP level of the VMEM-resident coarse kernel's
 # sub-hierarchy. A 1024^2-top hierarchy (4096^2 fine grid streamed twice,
 # or 2048^2 streamed once) compiles and runs; a 2048^2-top one needs
@@ -704,6 +723,12 @@ def stream_mg_solve_pressure(
         raise ValueError("slab_rows must be a multiple of 16 (keeps the "
                          "restrict/prolong slice offsets (i-1)*R/2 "
                          "sublane-aligned for Mosaic)")
+    clamped = auto_slab_rows(R, ny)
+    if clamped != R:
+        print(f"[stream-mg] slab_rows {R} -> {clamped} at width {ny} "
+              "(VMEM slab envelope; see pallas_stream.SLAB_CELLS_MAX)",
+              flush=True)
+        R = clamped
     inv_dx2, inv_dy2 = plan.spacings[0]
     volp0 = plan.volp_levels[0]
     n_cells = nx * ny

@@ -117,7 +117,7 @@ def simple_step(
     if (big_grid_pallas and st.inner_scheme == "redblack"
             and st.dtype == "float32"):
         from ..ops.pallas_momentum import pad_ff_slabs, tiled_solve_momentum
-        from ..ops.pallas_stream import SLAB_ROWS
+        from ..ops.pallas_stream import SLAB_ROWS, auto_slab_rows
 
         tiled_kw = {k: v for k, v in sweep_kw.items()
                     if k != "inner_scheme"}
@@ -130,7 +130,9 @@ def simple_step(
                   f"{tiled_kw['check_every']} -> 3 (multi-sweep kernel "
                   "passes; inner counts become multiples of 3)")
             tiled_kw["check_every"] = 3
-        slab_r = st.mg_slab_rows or SLAB_ROWS
+        # clamp to the silicon-proven VMEM slab envelope (R=256 fails the
+        # TPU compiler past ~4096-wide; 8192^2 runs at R<=128)
+        slab_r = auto_slab_rows(st.mg_slab_rows or SLAB_ROWS, mesh.ny + 2)
         # the frozen fluxes are shared by the u and v solves: slab-pad
         # them ONCE per step (each pad is a full HBM materialization)
         ff_pads = pad_ff_slabs(state.ff, slab_r, mesh.nx + 2, mesh.ny + 2)
@@ -572,11 +574,21 @@ class CFDSolver:
         if self._compile_checked:
             return
         st = self.case.settings
+
+        def probe():
+            # a zero-trip execution (count pre-set to max_iterations)
+            # compiles through jit's normal call path - unlike
+            # .lower().compile(), it primes the call cache, so the real
+            # solve does not re-trace - and surfaces compile failures
+            done = self.state._replace(
+                count=jnp.asarray(st.max_iterations, self.state.count.dtype)
+            )
+            jax.block_until_ready(
+                self._chunk_fn(done, self.profile, nu=self._nu)
+            )
+
         try:
-            jitted_run_chunk.lower(
-                self.state, self.profile, case=self.case,
-                n_steps=st.chunk_size, nu=self._nu,
-            ).compile()
+            probe()
         except Exception as e:
             if not (st.use_pallas or st.fused_step):
                 raise
@@ -596,16 +608,13 @@ class CFDSolver:
                     mg_slab_rows=0, steps_per_kernel=1,
                 ),
             )
+            st = self.case.settings
             self._chunk_fn = partial(
                 jitted_run_chunk,
                 case=self.case,
-                n_steps=self.case.settings.chunk_size,
+                n_steps=st.chunk_size,
             )
-            # compile the fallback now so a second failure surfaces here
-            jitted_run_chunk.lower(
-                self.state, self.profile, case=self.case,
-                n_steps=self.case.settings.chunk_size, nu=self._nu,
-            ).compile()
+            probe()  # a second failure surfaces here, un-swallowed
         self._compile_checked = True
 
     def precompile(self) -> float:

@@ -356,33 +356,46 @@ def run_hybrid_experiment(
     # grid's floor while bounding the damage.
     coarse_kw.setdefault("inner_max_iter", 256)
     coarse_kw.update(coarse_overrides or {})
-    coarse_fields, _, coarse_iters, coarse_time = run_coarse_simulation(
-        Re, lr_dim=lr_dim, dt=dt, scheme=scheme,
-        max_iterations=max_iterations_coarse, output_dir=output_dir, bc=bc,
-        case=case, verbose=verbose, save_results=save_results, **coarse_kw,
-    )
+    # named trace regions per phase: when a jax.profiler trace is being
+    # captured around this experiment (utils/timing.profile_trace), the
+    # per-phase device-time breakdown can be read off the trace
+    # (SURVEY 5.1). Zero overhead when no trace is active.
+    from ..utils.timing import trace_annotation
+
+    with trace_annotation("hybrid.coarse"):
+        coarse_fields, _, coarse_iters, coarse_time = run_coarse_simulation(
+            Re, lr_dim=lr_dim, dt=dt, scheme=scheme,
+            max_iterations=max_iterations_coarse, output_dir=output_dir,
+            bc=bc, case=case, verbose=verbose, save_results=save_results,
+            **coarse_kw,
+        )
 
     ml_name = fine_run_name(output_dir, prefix, Re, hr_dim, hr_dim,
                             max_iterations_coarse, max_iterations_ml, "ML")
-    ml_solver, ml_iters, ml_time, hr_fields = run_ml_accelerated_fine_simulation(
-        Re, hr_dim, hr_dim, coarse_fields, lr_dim=lr_dim, hr_dim=hr_dim,
-        stats_file=stats_file, model=model, model_file=model_file,
-        use_aspect_ratio_correction=use_aspect_ratio_correction,
-        lx=lx, ly=ly,
-        use_adaptive_normalization=use_adaptive_normalization,
-        blend_factor=blend_factor,
-        dt=dt, scheme=scheme, max_iterations=max_iterations_ml,
-        output_name=ml_name, bc=bc, case=case, verbose=verbose,
-        save_results=save_results, **kw,
-    )
+    with trace_annotation("hybrid.ml_fine"):
+        ml_solver, ml_iters, ml_time, hr_fields = \
+            run_ml_accelerated_fine_simulation(
+                Re, hr_dim, hr_dim, coarse_fields, lr_dim=lr_dim,
+                hr_dim=hr_dim,
+                stats_file=stats_file, model=model, model_file=model_file,
+                use_aspect_ratio_correction=use_aspect_ratio_correction,
+                lx=lx, ly=ly,
+                use_adaptive_normalization=use_adaptive_normalization,
+                blend_factor=blend_factor,
+                dt=dt, scheme=scheme, max_iterations=max_iterations_ml,
+                output_name=ml_name, bc=bc, case=case, verbose=verbose,
+                save_results=save_results, **kw,
+            )
 
     normal_name = fine_run_name(output_dir, prefix, Re, hr_dim, hr_dim,
                                 None, max_iterations_normal, "NORMAL")
-    normal_solver, normal_iters, normal_time = run_normal_simulation(
-        Re, hr_dim, hr_dim, dt=dt, scheme=scheme,
-        max_iterations=max_iterations_normal, output_name=normal_name, bc=bc,
-        case=case, verbose=verbose, save_results=save_results, **kw,
-    )
+    with trace_annotation("hybrid.normal_fine"):
+        normal_solver, normal_iters, normal_time = run_normal_simulation(
+            Re, hr_dim, hr_dim, dt=dt, scheme=scheme,
+            max_iterations=max_iterations_normal, output_name=normal_name,
+            bc=bc, case=case, verbose=verbose, save_results=save_results,
+            **kw,
+        )
 
     ml_cl = extract_centerlines(ml_solver.Var, ml_solver.mesh)
     normal_cl = extract_centerlines(normal_solver.Var, normal_solver.mesh)

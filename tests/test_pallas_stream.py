@@ -217,3 +217,19 @@ def test_config_validates_mg_slab_rows():
                             use_pallas=True)
     with pytest.raises(ValueError, match="Pallas multigrid"):
         SolverSettings.make(mg_slab_rows=16)
+
+
+def test_auto_slab_rows_envelope():
+    """The slab auto-clamp keeps R x width inside the silicon-proven VMEM
+    envelope (R=256 fails the TPU compiler at 8192-wide; R<=128 runs),
+    preserves multiples of 16, and leaves proven operating points alone."""
+    from sr_for_cfd_tpu.ops.pallas_stream import SLAB_ROWS, auto_slab_rows
+
+    assert auto_slab_rows(256, 4096) == 256   # proven point, untouched
+    assert auto_slab_rows(256, 2048) == 256
+    assert auto_slab_rows(256, 8192) == 128   # 8192^2: halved once
+    assert auto_slab_rows(256, 16384) == 64
+    assert auto_slab_rows(64, 8192) == 64     # explicit small R respected
+    assert auto_slab_rows(SLAB_ROWS, 1 << 20) == 16  # floor
+    for w in (400, 4096, 8192, 20000):
+        assert auto_slab_rows(256, w) % 16 == 0

@@ -217,24 +217,21 @@ def test_pallas_compile_failure_falls_back_to_jnp(monkeypatch, capsys):
     of an opaque failure, and still solve (VERDICT r3 weak #3)."""
     from sr_for_cfd_tpu.solver import simple as simple_mod
 
+    real = simple_mod.jitted_run_chunk
+
+    class FailsPallasCompile:
+        def __call__(self, *a, **k):
+            if k["case"].settings.use_pallas:
+                raise RuntimeError("simulated Mosaic compile failure")
+            return real(*a, **k)
+
+    monkeypatch.setattr(simple_mod, "jitted_run_chunk",
+                        FailsPallasCompile())
     solver = make_cavity_solver(
         Re=100, nx=16, ny=16, dt=2e-3, scheme="UPWIND", dtype="float32",
         chunk_size=200, max_iterations=400,
         pressure_solver="multigrid", use_pallas=True,
     )
-    real = simple_mod.jitted_run_chunk
-
-    class FailsPallasCompile:
-        def __call__(self, *a, **k):
-            return real(*a, **k)
-
-        def lower(self, *a, **k):
-            if k["case"].settings.use_pallas:
-                raise RuntimeError("simulated Mosaic compile failure")
-            return real.lower(*a, **k)
-
-    monkeypatch.setattr(simple_mod, "jitted_run_chunk",
-                        FailsPallasCompile())
     its, _ = solver.solve("/tmp/unused_fallback", verbose=False,
                           save_results=False)
     assert not solver.case.settings.use_pallas
