@@ -74,3 +74,37 @@ def test_shipped_multibc_pair_reproduces_recorded_mae(entry):
         f"{entry['lr_dim']}->400 shipped checkpoint regressed: "
         f"MAE {ev['avg_mae']:.6f} > recorded {entry['avg_mae']:.6f} "
         f"x {MARGIN}")
+
+
+BFS_FIXTURE = os.path.join(ROOT, "data", "bfs_eval_Re400.h5")
+
+# regenerated-fixture tolerance: the fixture's coarse/fine fields are
+# re-solved with the training script's exact settings but possibly a
+# later code revision, so they match the original eval inputs to f32
+# working precision, not bitwise
+BFS_MARGIN = 1.15
+
+
+@pytest.mark.parametrize("lr_dim,tag", [(10, ""), (20, "_20to400")],
+                         ids=["bfs10to400", "bfs20to400"])
+def test_shipped_bfs_pair_reproduces_recorded_mae(lr_dim, tag):
+    """The BFS-trained SR pairs (scripts/train_bfs_sr.py) get the same
+    executable quality gate as the cavity family: each shipped combined
+    checkpoint + stats, re-evaluated on the committed held-out Re=400
+    BFS fixture (scripts/make_bfs_eval_fixture.py), must reproduce its
+    recorded avg MAE (artifacts/bfs_sr_eval_*.json)."""
+    if not os.path.exists(BFS_FIXTURE):
+        pytest.skip("BFS eval fixture missing - run "
+                    "scripts/make_bfs_eval_fixture.py on the TPU")
+    from sr_for_cfd_tpu.workflow.training import evaluate_shipped_model
+
+    rec = json.load(open(os.path.join(
+        ART, f"bfs_sr_eval_swish_tpu_bfs{tag}.json")))
+    ev = evaluate_shipped_model(
+        lr_dim, 400, "swish_tpu_bfs", [BFS_FIXTURE],
+        eval_re=400, art_dir=ART)
+    assert np.isfinite(ev["avg_mae"])
+    assert ev["avg_mae"] <= rec["avg_mae"] * BFS_MARGIN, (
+        f"bfs {lr_dim}->400 shipped checkpoint regressed: "
+        f"MAE {ev['avg_mae']:.6f} > recorded {rec['avg_mae']:.6f} "
+        f"x {BFS_MARGIN}")
