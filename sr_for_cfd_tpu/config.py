@@ -282,6 +282,12 @@ class SolverSettings:
     mg_n_post: int = 4
     mg_min_size: int = 8
     mg_coarsest_sweeps: int = 40
+    # Red-black smoother over-relaxation. 1.5 accelerates the STANDALONE
+    # solve but is past the optimum for V-cycle SMOOTHING (which wants
+    # the high-frequency error killed, not the overall iteration sped
+    # up); on the BFS 10x3-domain semi-coarsened hierarchy lower values
+    # with more sweeps cut cycles/step ~2x (docs/STATUS.md r4).
+    mg_smoother_sor: float = 1.5
     # Slab-streamed Pallas multigrid (pressure_solver='multigrid' +
     # use_pallas, float32): 0 = automatic - the VMEM-resident fused
     # V-cycle kernel (ops/pallas_mg.py) when the hierarchy fits on-chip,

@@ -291,7 +291,7 @@ def make_step_kernel(case: CaseConfig, has_bfs: bool):
                     x_s[:], b_s[:],
                     [m[:] for m in mat_refs], plan,
                     tol=tol, max_cycles=MG_MAX_CYCLES, n_pre=st.mg_n_pre,
-                    n_post=st.mg_n_post, sor=MG_SMOOTHER_SOR,
+                    n_post=st.mg_n_post, sor=st.mg_smoother_sor,
                     coarsest_sweeps=st.mg_coarsest_sweeps,
                 )
                 zc = jnp.zeros((nx, 1), jnp.float32)

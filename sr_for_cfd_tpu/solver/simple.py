@@ -180,6 +180,7 @@ def simple_step(
                 p, ff, dx=dx, dy=dy, dt=dt, rho=fluid.rho, volp=volp,
                 tol=st.inner_tolerance, return_count=with_counts,
                 n_pre=st.mg_n_pre, n_post=st.mg_n_post,
+                smoother_sor=st.mg_smoother_sor,
                 min_size=st.mg_min_size,
                 coarsest_sweeps=st.mg_coarsest_sweeps,
                 slab_rows=st.mg_slab_rows or SLAB_ROWS,
@@ -195,6 +196,7 @@ def simple_step(
                 p, ff, dx=dx, dy=dy, dt=dt, rho=fluid.rho, volp=volp,
                 tol=st.inner_tolerance, return_count=with_counts,
                 n_pre=st.mg_n_pre, n_post=st.mg_n_post,
+                smoother_sor=st.mg_smoother_sor,
                 min_size=st.mg_min_size,
                 coarsest_sweeps=st.mg_coarsest_sweeps,
                 interpret=jax.default_backend() != "tpu",
@@ -206,6 +208,7 @@ def simple_step(
                 p, ff, dx=dx, dy=dy, dt=dt, rho=fluid.rho, volp=volp,
                 tol=st.inner_tolerance, return_count=with_counts,
                 n_pre=st.mg_n_pre, n_post=st.mg_n_post,
+                smoother_sor=st.mg_smoother_sor,
                 min_size=st.mg_min_size,
                 coarsest_sweeps=st.mg_coarsest_sweeps,
             )
