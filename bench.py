@@ -9,8 +9,12 @@ chip for a fixed iteration budget (cold start covers the expensive
 many-inner-sweep phase, so this is conservative vs the reference's
 full-trajectory average).
 
-Measured and reported in ONE JSON line (driver contract: metric / value /
-unit / vs_baseline; everything else is supplementary):
+Measured and reported in ONE COMPACT JSON line - the LAST stdout line,
+kept well under the driver's ~2,000-char capture window (the r4 line
+outgrew it and parsed as null; VERDICT r4 #2). The line carries metric /
+value / unit / vs_baseline plus per-mode one-line rates; the full detail
+blocks (parity gates, roofline, inner counts, the BFS block, the ICI
+budget) go to `docs/bench_full_r5.json`. What the modes measure:
 
   * four modes - `multigrid` (jnp V-cycles to the full 1e-6 tolerance),
     `mg_pallas` (whole V-cycle loop in one Pallas kernel), `fused_mg`
@@ -282,7 +286,9 @@ def _ici_budget_block(perf):
                      "parallel_efficiency") if k in m
                 }
                 continue
-            pred = predict_scaling(ms, traffic, int(n_dev))
+            pred = predict_scaling(
+                ms, traffic, int(n_dev),
+                compute_inflation=m.get("ca_compute_inflation", 1.0))
             exp["predicted"][n_dev] = {
                 "predicted_ms_per_step": round(
                     pred["predicted_ms_per_step"], 4),
@@ -666,8 +672,18 @@ def _supplementary(result, perf, on_tpu, only):
                 if m in perf]
     if mg_modes:
         headline = max(mg_modes, key=lambda d: d["iters_per_sec"])
+        result.update({
+            "metric": "cavity_400x400_Re1050_QUICK_outer_iterations_per_sec",
+            "value": headline["iters_per_sec"],
+            "vs_baseline": headline["vs_baseline"],
+        })
     elif perf:
         headline = next(iter(perf.values()))
+        result.update({
+            "metric": "cavity_400x400_Re1050_QUICK_outer_iterations_per_sec",
+            "value": headline["iters_per_sec"],
+            "vs_baseline": headline["vs_baseline"],
+        })
     else:  # BENCH_MODE=bfs: headline the BFS kernel mix itself
         b = result["bfs"]
         best = max((b[m] for m in ("fused_mg", "multigrid") if m in b),
@@ -675,23 +691,63 @@ def _supplementary(result, perf, on_tpu, only):
         result.update({
             "metric": "bfs_400x400_Re400_UPWIND_outer_iterations_per_sec",
             "value": best["iters_per_sec"],
-            "unit": "iterations/sec",
             "vs_baseline": best["vs_baseline_cavity_cpu_rate"],
-            "bench_iters": BENCH_ITERS,
-            "backend": jax.default_backend(),
         })
-        print(json.dumps(result))
-        return
     result.update({
-        "metric": "cavity_400x400_Re1050_QUICK_outer_iterations_per_sec",
-        "value": headline["iters_per_sec"],
         "unit": "iterations/sec",
-        "vs_baseline": headline["vs_baseline"],
         "modes": perf,
         "bench_iters": BENCH_ITERS,
         "backend": jax.default_backend(),
     })
-    print(json.dumps(result))
+    _emit(result)
+
+
+FULL_DETAIL_PATH = os.path.join("docs", "bench_full_r5.json")
+
+
+def _emit(result):
+    """Driver contract (VERDICT r4 #2): ONE compact JSON line, LAST on
+    stdout, comfortably under the driver's ~2,000-char capture window.
+    The full detail blocks (parity gates, roofline, inner counts, the
+    BFS block, the ICI budget) go to docs/bench_full_r5.json."""
+    root = os.path.dirname(os.path.abspath(__file__))
+    full_path = os.path.join(root, FULL_DETAIL_PATH)
+    os.makedirs(os.path.dirname(full_path), exist_ok=True)
+    with open(full_path, "w") as f:
+        json.dump(result, f, indent=1)
+
+    compact = {
+        "metric": result["metric"],
+        "value": result["value"],
+        "unit": result["unit"],
+        "vs_baseline": result["vs_baseline"],
+        "modes": {m: d["iters_per_sec"]
+                  for m, d in result.get("modes", {}).items()},
+        "bench_iters": result["bench_iters"],
+        "backend": result["backend"],
+        "detail": FULL_DETAIL_PATH,
+    }
+    if "pallas_parity" in result:
+        compact["parity_ok"] = result["pallas_parity"].get("ok")
+    if "bfs" in result:
+        b = result["bfs"]
+        compact["bfs_iters_per_sec"] = max(
+            b[m]["iters_per_sec"] for m in ("fused_mg", "multigrid")
+            if m in b)
+        compact["bfs_parity_ok"] = b.get("parity", {}).get("ok")
+    # the one multi-chip number the round-over-round record tracks: the
+    # predicted 2-device speedup at the reference 400^2 multigrid config
+    try:
+        pred = (result["ici_budget"]["experiments"]["400x400_multigrid"]
+                ["predicted"]["2"])
+        compact["ici_400sq_mg_2dev_pred_speedup"] = round(
+            result["modes"]["multigrid"]["device_ms_per_step"]
+            / pred["predicted_ms_per_step"], 3)
+    except (KeyError, TypeError, ZeroDivisionError):
+        pass
+    line = json.dumps(compact)
+    assert len(line) < 1500, f"compact bench line {len(line)} chars"
+    print(line)
 
 
 if __name__ == "__main__":

@@ -37,6 +37,7 @@ from jax.sharding import Mesh  # noqa: E402
 
 from sr_for_cfd_tpu.parallel.comm_budget import (  # noqa: E402
     IciParams,
+    ca_compute_inflation,
     measured_inner_trips,
     predict_scaling,
     spmd_chunk_census,
@@ -63,27 +64,36 @@ DEVICE_COUNTS = (2, 4, 8)
 ROOT = Path(__file__).resolve().parent.parent
 
 
-def _latest_bench() -> Path:
-    cands = sorted(ROOT.glob("BENCH_r*.json"))
-    if not cands:
-        raise FileNotFoundError("no BENCH_r*.json at the repo root")
-    return cands[-1]
-
-
 def resolve_ms_per_step(nx: int, source: str):
     """Read the recorded single-chip ms/step named by `source`, failing
-    loudly if the row is missing. Returns (ms_per_step, provenance)."""
+    loudly if the row is missing. Returns (ms_per_step, provenance).
+    BENCH files are scanned newest-first, skipping any whose `parsed`
+    is null (the r4 line outgrew the driver's capture window) or whose
+    modes moved to the side file (`docs/bench_full_r*.json`, r5+)."""
     kind, _, key = source.partition(":")
     if kind == "bench":
-        path = _latest_bench()
-        data = json.loads(path.read_text())
-        # the round driver wraps bench.py's JSON line under "parsed"
-        data = data.get("parsed", data)
-        modes = data.get("modes", {})
-        if key not in modes or "device_ms_per_step" not in modes[key]:
-            raise KeyError(f"mode {key!r} missing from {path.name}")
-        return (float(modes[key]["device_ms_per_step"]),
-                f"{path.name}:modes.{key}.device_ms_per_step")
+        import re
+
+        cands = list(ROOT.glob("BENCH_r*.json"))
+        cands += list(ROOT.glob("docs/bench_full_r*.json"))
+        if not cands:
+            raise FileNotFoundError("no BENCH_r*.json at the repo root")
+
+        def round_of(p: Path) -> int:
+            m = re.search(r"r(\d+)", p.name)
+            return int(m.group(1)) if m else -1
+
+        for path in sorted(cands, key=round_of, reverse=True):
+            data = json.loads(path.read_text())
+            data = data.get("parsed", data)  # driver wraps the JSON line
+            if not isinstance(data, dict):
+                continue
+            modes = data.get("modes", {})
+            mode = modes.get(key)
+            if isinstance(mode, dict) and "device_ms_per_step" in mode:
+                return (float(mode["device_ms_per_step"]),
+                        f"{path.name}:modes.{key}.device_ms_per_step")
+        raise KeyError(f"mode {key!r} missing from every BENCH_r*.json")
     if kind == "scaling":
         path = ROOT / "docs" / "scaling_bench.json"
         data = json.loads(path.read_text())
@@ -129,7 +139,11 @@ def main() -> None:
             mesh = Mesh(np.array(jax.devices()[:n_dev]), ("x",))
             chunk = spmd_chunk_census(case, mesh)
             traffic = step_traffic(chunk, trips, case)
-            pred = predict_scaling(ms_single, traffic, n_dev)
+            # redundant halo-row recompute of the communication-avoiding
+            # schedule, charged against the compute term (VERDICT r4 #7)
+            inflation = ca_compute_inflation(case, n_dev, trips)
+            pred = predict_scaling(ms_single, traffic, n_dev,
+                                   compute_inflation=inflation)
             row["meshes"][str(n_dev)] = {
                 "per_rank_bytes_per_step": traffic["bytes_per_step"],
                 "per_rank_halo_bytes_per_step": traffic["halo_bytes_per_step"],
@@ -140,6 +154,7 @@ def main() -> None:
                 # freshly measured ms/step without re-doing the census
                 "halo_calls_per_step": traffic["halo_calls_per_step"],
                 "reduce_calls_per_step": traffic["reduce_calls_per_step"],
+                "ca_compute_inflation": round(inflation, 4),
                 **pred,
             }
             print(

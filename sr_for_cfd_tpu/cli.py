@@ -163,12 +163,20 @@ def cmd_hybrid(args):
         # pinned single-device by run_hybrid_experiment)
         kw["spmd_devices"] = args.spmd
     if args.rre:
-        # RRE targets the long pseudo-time march of the COARSE phase
-        # (whole-budget single-dispatch chunk, so the cycle always fits);
-        # the capped fine phases run too few iterations for a jump
+        # RRE on the COARSE phase's long pseudo-time march (whole-budget
+        # single-dispatch chunk, so the cycle always fits)
         kw["coarse_overrides"] = {
             "rre_every": args.rre, "rre_depth": args.rre_depth,
         }
+    if args.rre_fine:
+        # RRE on BOTH fine phases (warm AND cold - honest economics: both
+        # sides of the speedup ratio run the best solver; VERDICT r4 #3).
+        # Cadence is separate from --rre: the 400^2 march has far slower
+        # modes than the 10^2 coarse march (tune via the chunk: the
+        # snapshot buffer is chunk-local, the cycle
+        # rre_fine*(rre_depth+1) must fit inside one chunk)
+        kw["rre_every"] = args.rre_fine
+        kw["rre_depth"] = args.rre_depth
     # only forward the shared-solver defaults when the user changed them:
     # run_hybrid_experiment's coarse phase sets its own (plateau ON,
     # whole-budget single-dispatch chunk) and unconditional forwarding
@@ -299,6 +307,10 @@ def build_parser() -> argparse.ArgumentParser:
                    default="cavity")
     p.add_argument("--lr-dim", type=int, default=10)
     p.add_argument("--hr-dim", type=int, default=400)
+    p.add_argument("--rre-fine", type=int, default=0, metavar="W",
+                   help="reduced-rank extrapolation on BOTH fine phases "
+                        "(warm and cold) at snapshot cadence W; --rre "
+                        "covers the coarse phase, --rre-depth is shared")
     p.add_argument("--ml-iterations", type=int, default=200)
     p.add_argument("--normal-iterations", type=int, default=100000)
     p.add_argument("--stats-file", default=None)

@@ -42,6 +42,7 @@ __all__ = [
     "measured_inner_trips",
     "effective_momentum_cadence",
     "step_traffic",
+    "ca_compute_inflation",
     "IciParams",
     "predict_scaling",
 ]
@@ -346,6 +347,74 @@ def step_traffic(
     }
 
 
+def ca_compute_inflation(case, n_dev: int, trips: Dict[str, float]) -> float:
+    """Analytic redundant-compute factor of the communication-avoiding
+    halo schedule (VERDICT r4 #7, honesty term): a k-sweep block updates
+    `rows + 2(H - d)` rows per sweep instead of `rows` (H = 2k + extra,
+    spmd_step.ca_sweep_solve), so per-rank compute exceeds
+    single-chip/n_dev by this factor. It is the price paid for ~10x
+    fewer collectives; `predict_scaling(compute_inflation=...)` charges
+    it against the compute term so the predicted win is auditable.
+
+    Weighted across the momentum and pressure work using the measured
+    sweep counts in `trips` and a 2:1 momentum:pressure per-row sweep
+    cost (QUICK's 9-point convection + fluxes vs the 5-point Laplacian;
+    XLA's cost model puts the ratio at ~2.2 at 400^2, bench.py
+    `_sweep_costs`). Multigrid pressure weights each sharded level's
+    smoothing by its point count and charges the replicated coarse tail
+    at full (n_dev x) cost; restriction/prolongation matmuls (exact,
+    not redundant) are not inflated - they are a small fraction of a
+    cycle's work."""
+    from .spmd_step import sweep_blocks
+
+    st = case.settings
+    nx, ny = case.mesh.nx, case.mesh.ny
+    rows = nx // n_dev
+
+    def block_factor(check_every: int, rows_band: int, d: int,
+                     extra: int) -> float:
+        k_max = max(1, (rows_band - extra) // 2)
+        blocks = sweep_blocks(check_every, k_max)
+        ext_rows = sum(
+            kb * (rows_band + 2 * (2 * kb + extra) - 2 * d)
+            for kb in blocks
+        )
+        return ext_rows / (check_every * rows_band)
+
+    d_m, extra_m = (2, 1) if st.scheme == "QUICK" else (1, 0)
+    infl_m = block_factor(st.momentum_check_every, rows, d_m, extra_m)
+    w_m = 2.0 * (trips.get("u", 0.0) + trips.get("v", 0.0))
+
+    if st.pressure_solver == "multigrid":
+        from .spmd_mg import plan_spmd_mg
+
+        plan = plan_spmd_mg(nx, ny, case.mesh.dx, case.mesh.dy,
+                            case.mesh.volp, n_dev,
+                            np.dtype(st.dtype), min_size=st.mg_min_size)
+        n_smooth = st.mg_n_pre + st.mg_n_post
+        w_p, acc = 0.0, 0.0
+        for lvl, (nxl, nyl) in enumerate(plan.sizes):
+            w = n_smooth * nxl * nyl * trips.get("p", 0.0)
+            if lvl < plan.n_shard:
+                rows_l = nxl // n_dev
+                # pre-smoother carries extra=1..2 for the residual
+                # by-product; charge the deeper (extra=2) bound
+                f = block_factor(max(st.mg_n_pre, 1), rows_l, 1, 2)
+            else:
+                f = float(n_dev)  # replicated tail: full work per rank
+            w_p += w
+            acc += w * f
+        infl_p_weighted = acc / max(w_p, 1e-30)
+    else:
+        infl_p_weighted = block_factor(st.pressure_check_every, rows, 1, 0)
+        w_p = trips.get("p", 0.0)
+
+    total_w = w_m + w_p
+    if total_w <= 0:
+        return 1.0
+    return (w_m * infl_m + w_p * infl_p_weighted) / total_w
+
+
 class IciParams(NamedTuple):
     """ICI link model. Defaults: TPU v5e - 400 Gbps per link per
     direction (public spec: 1,600 Gbps total over 4 links) = 5e10 B/s
@@ -363,6 +432,7 @@ def predict_scaling(
     n_devices: int,
     params: IciParams = IciParams(),
     parallel_fraction: float = 1.0,
+    compute_inflation: float = 1.0,
 ) -> Dict[str, float]:
     """Predicted multi-chip step time: Amdahl compute + ICI comm.
 
@@ -382,9 +452,12 @@ def predict_scaling(
     halos), so the terms add - this is the PESSIMISTIC bound; XLA may
     overlap the step-level collectives. `parallel_fraction` discounts
     any per-step work that does not decompose (1.0 for the SIMPLE step:
-    every stage shards)."""
+    every stage shards). `compute_inflation` charges the communication-
+    avoiding schedule's redundant halo-row recompute against the
+    decomposed compute term (`ca_compute_inflation`)."""
     compute_s = single_chip_ms_per_step / 1e3 * (
-        (1 - parallel_fraction) + parallel_fraction / n_devices
+        (1 - parallel_fraction)
+        + parallel_fraction * compute_inflation / n_devices
     )
     halo_b = traffic.get("halo_bytes_per_step", traffic["bytes_per_step"])
     halo_c = traffic.get("halo_calls_per_step", traffic["calls_per_step"])

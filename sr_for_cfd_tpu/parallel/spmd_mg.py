@@ -8,10 +8,14 @@ what the single-device path uses for every fine grid). This module is
 the same V-cycle as `ops.multigrid.mg_solve_pressure`, decomposed:
 
   * FINE levels stay sharded: each rank holds `rows_l = nxl // n_dev`
-    interior rows. Red-black smoothing uses GLOBAL parity and a 1-row
-    ppermute halo per half-sweep (zero rows at the domain edge - the
-    frozen-ghost system has homogeneous Dirichlet exterior, ghosts are
-    folded into the RHS exactly like the single-device path).
+    interior rows. Red-black smoothing uses GLOBAL parity and
+    COMMUNICATION-AVOIDING halos: one stacked (x, b) ppermute pair per
+    block of k sweeps (2k halo rows, redundant halo-row recompute -
+    `smooth_ca`), with the post-smoothing residual handed back as a
+    local by-product so neither the restriction nor the cycle-exit rms
+    re-exchanges. Zero rows at the domain edge - the frozen-ghost
+    system has homogeneous Dirichlet exterior, ghosts are folded into
+    the RHS exactly like the single-device path.
   * Row restriction/prolongation between sharded levels are per-rank
     SLICES of the exact global `jax.image.resize` operator matrices
     (`pallas_mg._resize_matrix`), applied to the 1-row-halo-extended
@@ -53,6 +57,7 @@ from ..ops.multigrid import (
 from ..ops.pallas_mg import _resize_matrix
 from ..ops.sweeps import stall_update, stalled
 from .mesh import ring_perms
+from .spmd_step import sweep_blocks
 from .vma import vary as _vary
 
 # keep a level sharded only while every rank holds at least this many of
@@ -206,27 +211,75 @@ def make_spmd_mg_solve(plan: SpmdMGPlan, axis: str, n_dev: int, *,
             + (xp[:, 2:] - 2.0 * c + xp[:, :-2]) * inv_dy2
         )
 
-    def red_of(lvl, rows):
-        rank = rank_of()
-        ii = (jax.lax.broadcasted_iota(jnp.int32, (rows, plan.sizes[lvl][1]), 0)
-              + rank * rows)
-        jj = jax.lax.broadcasted_iota(jnp.int32, ii.shape, 1)
-        return (ii + jj) % 2 == 0
-
     def smooth_band_jnp(x, b, lvl, n_sweeps, omega):
+        x, _ = smooth_ca(x, b, lvl, n_sweeps, omega, extra=0)
+        return x
+
+    def smooth_ca(x, b, lvl, n_sweeps, omega, extra):
+        """Communication-avoiding red-black smoothing: one stacked
+        (x, b) ppermute pair per block of k sweeps with the halo rows'
+        updates recomputed redundantly, instead of two 1-row exchanges
+        per sweep. Erosion accounting as `spmd_step.ca_sweep_solve`
+        (5-point: H = 2k halo rows buy k sweeps; own-row updates read
+        the same values in the same op order, so trajectories are
+        BITWISE identical to the exchange-per-half-sweep schedule).
+
+        `extra` requests the post-smoothing residual r = b - lap(x) as
+        a local by-product (halo depth 2k + extra): extra=1 returns r
+        on own rows (the cycle-exit rms), extra=2 on own rows +-1 (the
+        operand of the banded restriction matmul, replacing its
+        assemble0). Out-of-domain rows of the returned residual hold
+        garbage the zeroed operator columns annihilate. Returns
+        (x_own, residual | None)."""
         inv_dx2, inv_dy2 = plan.spacings[lvl]
-        inv_ap = omega / (-plan.volp_levels[lvl]
-                          * (2.0 * inv_dx2 + 2.0 * inv_dy2))
-        red = red_of(lvl, x.shape[0])
+        volp_l = plan.volp_levels[lvl]
+        inv_ap = omega / (-volp_l * (2.0 * inv_dx2 + 2.0 * inv_dy2))
+        nxl, nyl = plan.sizes[lvl]
+        rows_l = x.shape[0]
+        blocks = sweep_blocks(n_sweeps, max(1, (rows_l - extra) // 2))
+        rank = rank_of()
 
-        def sweep(_, x):
-            r = b - lap_band(assemble0(x), lvl)
-            x = x + jnp.where(red, r * inv_ap, 0.0)
-            r = b - lap_band(assemble0(x), lvl)
-            x = x + jnp.where(red, 0.0, r * inv_ap)
-            return x
+        def masks(h):
+            nreg = rows_l + 2 * h - 2
+            gi = (jax.lax.broadcasted_iota(jnp.int32, (nreg, nyl), 0)
+                  + rank * rows_l - h + 1)
+            jj = jax.lax.broadcasted_iota(jnp.int32, (nreg, nyl), 1)
+            red = (gi + jj) % 2 == 0
+            dom = jnp.logical_and(gi >= 0, gi < nxl)
+            return jnp.logical_and(red, dom), jnp.logical_and(~red, dom)
 
-        return jax.lax.fori_loop(0, n_sweeps, sweep, x)
+        def lap_region(ext):
+            c = ext[1:-1]
+            xp = jnp.pad(c, ((0, 0), (1, 1)))
+            return volp_l * (
+                (ext[2:] - 2.0 * c + ext[:-2]) * inv_dx2
+                + (xp[:, 2:] - 2.0 * c + xp[:, :-2]) * inv_dy2
+            )
+
+        res = None
+        for bi, kb in enumerate(blocks):
+            last = bi == len(blocks) - 1
+            h = 2 * kb + (extra if last else 0)
+            pair = jnp.stack([x, b])
+            up = jax.lax.ppermute(pair[:, -h:], axis, fwd)
+            dn = jax.lax.ppermute(pair[:, :h], axis, bwd)
+            z = jnp.zeros_like(up)
+            up = jnp.where(rank == 0, z, up)
+            dn = jnp.where(rank == n_dev - 1, z, dn)
+            ext2 = jnp.concatenate([up, pair, dn], axis=1)
+            xe, br = ext2[0], ext2[1, 1:-1]
+            red_r, blk_r = masks(h)
+            for _ in range(kb):
+                r = br - lap_region(xe)
+                xe = xe.at[1:-1].add(jnp.where(red_r, r * inv_ap, 0.0))
+                r = br - lap_region(xe)
+                xe = xe.at[1:-1].add(jnp.where(blk_r, r * inv_ap, 0.0))
+            if last and extra:
+                r_full = br - lap_region(xe)
+                o = h - extra
+                res = r_full[o:o + rows_l + 2 * (extra - 1)]
+            x = xe[h:-h]
+        return x, res
 
     def smooth_band_pallas(x, b, lvl, n_sweeps, omega):
         """Per-rank Pallas smoother: same masked red-black update as the
@@ -261,9 +314,12 @@ def make_spmd_mg_solve(plan: SpmdMGPlan, axis: str, n_dev: int, *,
         return jax.lax.dynamic_index_in_dim(
             jnp.asarray(stack), rank_of(), keepdims=False)
 
-    def restrict_band(r, lvl):
+    def restrict_band(r, lvl, pre_extended=False):
+        """`pre_extended` skips the assemble0 when the caller already
+        holds r on own rows +-1 (the smoother's residual by-product)."""
         if plan.rstack[lvl] is not None:
-            r = jnp.dot(pick(plan.rstack[lvl]), assemble0(r),
+            r = jnp.dot(pick(plan.rstack[lvl]),
+                        r if pre_extended else assemble0(r),
                         precision=hi)
         if plan.rcolT[lvl] is not None:
             r = jnp.dot(r, plan.rcolT[lvl], precision=hi)
@@ -278,9 +334,14 @@ def make_spmd_mg_solve(plan: SpmdMGPlan, axis: str, n_dev: int, *,
                         precision=hi)
         return e
 
-    def v_band(x, b, lvl):
+    def v_band(x, b, lvl, want_rms=False):
         """Sharded V-cycle level; recursion bottoms out in the replicated
-        single-device `_v_cycle` tail."""
+        single-device `_v_cycle` tail. On the jnp path the pre-smoother
+        hands back its residual halo-extended (no assemble0 before the
+        restriction) and, with `want_rms` (level 0 only), the
+        post-smoother hands back the own-row residual the cycle-exit rms
+        needs - so one cycle level costs 3 ppermute pairs (pre-smooth,
+        prolongation, post-smooth) instead of one per half-sweep."""
         if lvl == plan.n_shard:
             full = _v_cycle(
                 vary(jnp.zeros(plan.sizes[lvl], b.dtype)),
@@ -291,13 +352,22 @@ def make_spmd_mg_solve(plan: SpmdMGPlan, axis: str, n_dev: int, *,
             rows = plan.sizes[lvl][0] // n_dev
             return jax.lax.dynamic_slice_in_dim(
                 full, rank_of() * rows, rows, axis=0)
-        x = smooth_band(x, b, lvl, n_pre, sor)
-        r = b - lap_band(assemble0(x), lvl)
-        r_c = restrict_band(r, lvl)
+        if use_pallas:
+            x = smooth_band(x, b, lvl, n_pre, sor)
+            r = b - lap_band(assemble0(x), lvl)
+            r_c = restrict_band(r, lvl)
+        else:
+            rowwise = plan.rstack[lvl] is not None
+            x, r = smooth_ca(x, b, lvl, n_pre, sor,
+                             extra=2 if rowwise else 1)
+            r_c = restrict_band(r, lvl, pre_extended=rowwise)
         e_c = v_band(vary(jnp.zeros_like(r_c)), r_c, lvl + 1)
         x = x + prolong_band(e_c, lvl)
-        x = smooth_band(x, b, lvl, n_post, sor)
-        return x
+        if use_pallas:
+            return smooth_band(x, b, lvl, n_post, sor)
+        x, r_post = smooth_ca(x, b, lvl, n_post, sor,
+                              extra=1 if want_rms else 0)
+        return (x, r_post) if want_rms else x
 
     def v_replicated(x_full, b_full):
         return _v_cycle(x_full, b_full, 0, plan.sizes, plan.spacings,
@@ -306,6 +376,10 @@ def make_spmd_mg_solve(plan: SpmdMGPlan, axis: str, n_dev: int, *,
 
     def solve(x_band, b_band):
         dtype = x_band.dtype
+
+        def rms_of(x):
+            r = b_band - lap_band(assemble0(x), 0)
+            return jnp.sqrt(jax.lax.psum(jnp.sum(r * r), axis) / n_cells)
 
         if plan.n_shard == 0:
             # degenerate decomposition (too few rows per rank): run the
@@ -316,23 +390,27 @@ def make_spmd_mg_solve(plan: SpmdMGPlan, axis: str, n_dev: int, *,
             rows = nx0 // n_dev
             bf = jax.lax.all_gather(b_band, axis, tiled=True)
 
-            def cycle(x):
+            def cycle_rms(x):
                 full = jax.lax.all_gather(x, axis, tiled=True)
                 out = v_replicated(full, bf)
-                return jax.lax.dynamic_slice_in_dim(
+                x = jax.lax.dynamic_slice_in_dim(
                     out, rank_of() * rows, rows, axis=0)
+                return x, rms_of(x)
+        elif use_pallas:
+            def cycle_rms(x):
+                x = v_band(x, b_band, 0)
+                return x, rms_of(x)
         else:
-            def cycle(x):
-                return v_band(x, b_band, 0)
-
-        def rms_of(x):
-            r = b_band - lap_band(assemble0(x), 0)
-            return jnp.sqrt(jax.lax.psum(jnp.sum(r * r), axis) / n_cells)
+            def cycle_rms(x):
+                # the post-smoother's own-row residual by-product IS the
+                # exit-test residual - no extra exchange
+                x, r = v_band(x, b_band, 0, want_rms=True)
+                return x, jnp.sqrt(
+                    jax.lax.psum(jnp.sum(r * r), axis) / n_cells)
 
         def body(carry):
             x, prev, best, stale, it = carry
-            x = cycle(x)
-            rms = rms_of(x)
+            x, rms = cycle_rms(x)
             stale, best = stall_update(rms, prev, best, stale)
             return x, rms, best, stale, it + 1
 

@@ -9,8 +9,23 @@ demand:
 
   * each rank owns `rows = nx // n_dev` interior rows as a local
     (rows, ny+2) block (y-ghost columns included; y BCs are rank-local);
-  * x-halo rows travel by `jax.lax.ppermute` over ICI before every
-    stencil evaluation (1 row for 5-point/UPWIND, 2 for QUICK's +-2);
+  * x-halo rows travel by `jax.lax.ppermute` over ICI in
+    COMMUNICATION-AVOIDING blocks: ONE deep exchange buys k full
+    red-black sweeps, with the halo rows' updates recomputed
+    redundantly instead of communicated (the progressive-erosion idea
+    of `ops/pallas_momentum.py`, here with the exact per-color
+    recurrence: each sweep erodes red validity by the stencil radius d
+    and black lags one row, so H = 2k+1 halo rows suffice for k QUICK
+    sweeps and H = 2k for 5-point/UPWIND - see `ca_sweep_solve`). k is
+    the rms check cadence (`momentum_check_every` /
+    `pressure_check_every`), so sweep counts and exit decisions are
+    identical to the single-device loop and own-row trajectories stay
+    BITWISE identical (own-cell updates read the same values in the
+    same op order). Per-solve-constant arrays (old fields, face
+    fluxes, the pressure RHS) ride one STACKED ppermute pair per inner
+    solve. Bands too narrow for even a 1-sweep halo (QUICK at
+    rows == 2) fall back to the original exchange-per-half-sweep
+    schedule;
   * the domain's x-ghost rows (global rows 0 and nx+1) are COMPUTED on
     the boundary ranks from the BC spec - valid because a ghost row is a
     pure function of its adjacent interior row and the interior never
@@ -102,6 +117,19 @@ def _specs(axis: str) -> SpmdState:
         held=rep, plat_best=rep, plat_acc=rep, plat_n=rep, plat_stale=rep,
         cau_u=row, cau_v=row, cau_count=rep,
     )
+
+
+def sweep_blocks(total: int, k_max: int):
+    """Split `total` sweeps into communication-avoiding blocks of at most
+    `k_max` sweeps each (largest first); one halo exchange per block.
+    Shared by the SIMPLE-step inner solves and the multigrid smoother
+    (`spmd_mg.py`)."""
+    out, rem = [], total
+    while rem > 0:
+        b = min(k_max, rem)
+        out.append(b)
+        rem -= b
+    return out
 
 
 def _ghost_row(row, side_bc, var_k: int, profile: Optional[BFSInletProfile],
@@ -295,12 +323,6 @@ def _make_step(case: CaseConfig, profile: Optional[BFSInletProfile],
         ap = volp / dt + ap_c - nu * ap_d
         return r, ap
 
-    def pressure_residual(p_own, glow, ghigh, div_sum):
-        sh1 = shifts1(assemble(p_own, 1, glow, ghigh))
-        fd, ap_d = diffusion(None, dx, dy, volp, shifts=sh1)
-        r = rho / dt * div_sum - fd
-        return r, jnp.full_like(r, ap_d)
-
     def sweep_solve(x_own, residual_fn, sor, check_every, dtype,
                     sweep_override=None):
         """The local counterpart of `sweeps.sweep_loop` (red-black only):
@@ -355,6 +377,138 @@ def _make_step(case: CaseConfig, profile: Optional[BFSInletProfile],
                                  (x_own, big, big, zi, zero, zero))
         return out[0]
 
+    # ---- communication-avoiding sweeps -------------------------------
+    # One H-deep halo exchange buys k full red-black sweeps by
+    # recomputing the halo rows' updates redundantly. Exact erosion
+    # accounting (per color, stencil radius d): a red update reads black
+    # at +-1 and red at +-d', so with r_s/b_s = invalid depth after
+    # sweep s, r_s = max(b_{s-1}+1, r_{s-1}+d) and
+    # b_s = max(r_s+1, b_{s-1}+d) => r_s = d*s, b_s = d*s+1 for d=2
+    # (QUICK) and r_s = 2s-1, b_s = 2s for d=1 (5-point). Own rows (and
+    # the final sweep's own-row residuals) are exact iff
+    # H >= 2k + (1 if d == 2 else 0). Own-cell updates read the same
+    # values in the same op order as the exchange-per-half-sweep
+    # schedule, so trajectories are BITWISE identical (the f64 parity
+    # tests run unchanged); only the collective count changes:
+    # 2 ppermutes per k sweeps instead of 4 per sweep.
+    d_mom = 2 if quick else 1
+    extra_mom = 1 if quick else 0
+    k_max_mom = (rows - extra_mom) // 2   # deepest exchange <= rows
+
+    def extend_consts(cs, H: int):
+        """(n, rows+2H, ny) halo extension of the per-solve-constant
+        arrays: one stacked fwd/bwd ppermute pair carries every
+        constant's H-deep bands (2 collectives instead of 2n). Edge
+        ranks receive the ring-wrapped opposite side - garbage, but
+        only ever read at out-of-domain rows whose updates the domain
+        mask discards (constants enter the residual pointwise at the
+        updated cell only)."""
+        arr = jnp.stack(cs)
+        up = jax.lax.ppermute(arr[:, -H:], axis, fwd)
+        dn = jax.lax.ppermute(arr[:, :H], axis, bwd)
+        return jnp.concatenate([up, arr, dn], axis=1)
+
+    def ca_sweep_solve(x_own, region_residual, consts, sor, check_every,
+                       d, glow, ghigh, dtype):
+        """`sweep_solve` with the communication-avoiding block schedule:
+        same while_loop, stall policy and globally-psum'd rms at the
+        same cadence, but each body trip exchanges once per block of
+        sweeps instead of once per half-sweep. `region_residual(ext,
+        consts_region) -> (r, ap)` evaluates the point residual over an
+        extended block's updatable region ext[d:-d]."""
+        extra = 1 if d == 2 else 0
+        blocks = sweep_blocks(check_every, (rows - extra) // 2)
+        H_max = 2 * blocks[0] + extra
+        ce_full = extend_consts(consts, H_max)
+        red_own = red_mask()
+
+        def region_masks(H: int):
+            nreg = rows + 2 * H - 2 * d
+            rank = rank_of()
+            gi = (jax.lax.broadcasted_iota(jnp.int32, (nreg, ny), 0)
+                  + rank * rows - H + d)
+            jj = jax.lax.broadcasted_iota(jnp.int32, (nreg, ny), 1) + 1
+            red = (gi + 1 + jj) % 2 == 0
+            dom = jnp.logical_and(gi >= 0, gi < nx)
+            return jnp.logical_and(red, dom), jnp.logical_and(~red, dom)
+
+        def block_sweeps(f, kb: int, with_rms: bool):
+            H = 2 * kb + extra
+            fe = assemble(f, H, glow, ghigh)
+            ce = ce_full[:, H_max - H:H_max + rows + H]
+            cr = ce[:, d:-d]
+            red_r, blk_r = region_masks(H)
+            rms = None
+            for j in range(kb):
+                r1, ap1 = region_residual(fe, cr)
+                fe = fe.at[d:-d, 1:-1].add(
+                    jnp.where(red_r, sor * r1 / ap1, 0.0))
+                r2, ap2 = region_residual(fe, cr)
+                fe = fe.at[d:-d, 1:-1].add(
+                    jnp.where(blk_r, sor * r2 / ap2, 0.0))
+                if with_rms and j == kb - 1:
+                    o = H - d
+                    ss = jax.lax.psum(
+                        jnp.sum(jnp.where(red_own,
+                                          r1[o:o + rows] * r1[o:o + rows],
+                                          r2[o:o + rows] * r2[o:o + rows])),
+                        axis,
+                    )
+                    rms = jnp.sqrt(ss / n_cells)
+            return fe[H:-H], rms
+
+        def body(carry):
+            f, prev, best, stale, checks, it = carry
+            rms = None
+            for bi, kb in enumerate(blocks):
+                f, r = block_sweeps(f, kb, with_rms=bi == len(blocks) - 1)
+                if r is not None:
+                    rms = r
+            stale, best = stall_update(rms, prev, best, stale)
+            return f, rms, best, stale, checks + 1, it + check_every
+
+        def cond(carry):
+            _, rms, _, stale, checks, it = carry
+            return jnp.logical_and(
+                jnp.logical_and(it < st.inner_max_iter,
+                                rms >= st.inner_tolerance),
+                jnp.logical_not(stalled(stale, checks)),
+            )
+
+        extra_axes = frozenset(
+            getattr(jax.typeof(x_own), "vma", frozenset())) - {axis}
+        big = vary_over(jnp.asarray(jnp.inf, dtype), extra_axes)
+        zi = vary_over(jnp.asarray(0, jnp.int32), extra_axes)
+        zero = jnp.asarray(0, jnp.int32)
+        out = jax.lax.while_loop(cond, body,
+                                 (x_own, big, big, zi, zero, zero))
+        return out[0]
+
+    def momentum_residual_region(ext, cr, nu):
+        """Point residual over an extended block's region (cr carries
+        the halo-extended constants: old field, 4 face fluxes)."""
+        old_r = cr[0]
+        ff_r = FaceFluxes(e=cr[1], n=cr[2], w=cr[3], s=cr[4])
+        if quick:
+            s2 = shifts2_of(ext)
+            fc, ap_c = quick_convection(None, ff_r, volp, shifts=s2)
+            sh1 = (s2.c, s2.e, s2.w, s2.n, s2.s)
+        else:
+            sh1 = shifts1(ext)
+            fc, ap_c = upwind_convection(None, ff_r, volp, shifts=sh1)
+        fd, ap_d = diffusion(None, dx, dy, volp, shifts=sh1)
+        c = sh1[0]
+        r = -(volp / dt * (c - old_r) + fc - nu * fd)
+        ap = volp / dt + ap_c - nu * ap_d
+        return r, ap
+
+    def pressure_residual_region(ext, cr):
+        """cr[0] is the frozen RHS rho/dt * div_sum, halo-extended."""
+        sh1 = shifts1(ext)
+        fd, ap_d = diffusion(None, dx, dy, volp, shifts=sh1)
+        r = cr[0] - fd
+        return r, jnp.full_like(r, ap_d)
+
     def under_relax_own(x_own, old_own, a):
         if isinstance(a, float) and a == 1.0:
             return x_own
@@ -365,23 +519,29 @@ def _make_step(case: CaseConfig, profile: Optional[BFSInletProfile],
         dtype = s.u.dtype
 
         # -- momentum (frozen ghosts captured at entry) -------------------
-        glow_u, ghigh_u = ghosts(s.u, 0)
-        u = sweep_solve(
-            s.u,
-            partial(momentum_residual, glow=glow_u, ghigh=ghigh_u,
-                    old_own=s.u_old, ff=s.ff, nu=nu),
-            1.0, st.momentum_check_every, dtype,
-        )
+        def solve_mom(x, old_own, var_k):
+            glow, ghigh = ghosts(x, var_k)
+            if k_max_mom >= 1:
+                return ca_sweep_solve(
+                    x, partial(momentum_residual_region, nu=nu),
+                    [old_own, s.ff.e, s.ff.n, s.ff.w, s.ff.s],
+                    1.0, st.momentum_check_every, d_mom, glow, ghigh,
+                    dtype,
+                )
+            # band too narrow for even a 1-sweep QUICK halo (rows == 2):
+            # original exchange-per-half-sweep schedule
+            return sweep_solve(
+                x,
+                partial(momentum_residual, glow=glow, ghigh=ghigh,
+                        old_own=old_own, ff=s.ff, nu=nu),
+                1.0, st.momentum_check_every, dtype,
+            )
+
+        u = solve_mom(s.u, s.u_old, 0)
         u = under_relax_own(u, s.u_old, alpha["u"])
         u = apply_bc_y(u, 0)
 
-        glow_v, ghigh_v = ghosts(s.v, 1)
-        v = sweep_solve(
-            s.v,
-            partial(momentum_residual, glow=glow_v, ghigh=ghigh_v,
-                    old_own=s.v_old, ff=s.ff, nu=nu),
-            1.0, st.momentum_check_every, dtype,
-        )
+        v = solve_mom(s.v, s.v_old, 1)
         v = under_relax_own(v, s.v_old, alpha["v"])
         v = apply_bc_y(v, 1)
 
@@ -436,11 +596,10 @@ def _make_step(case: CaseConfig, profile: Optional[BFSInletProfile],
                 sweep_override=sweep_pallas,
             )
         else:
-            p = sweep_solve(
-                s.p,
-                partial(pressure_residual, glow=glow_p, ghigh=ghigh_p,
-                        div_sum=div_sum),
-                p_sor, st.pressure_check_every, dtype,
+            p = ca_sweep_solve(
+                s.p, pressure_residual_region, [rho / dt * div_sum],
+                p_sor, st.pressure_check_every, 1, glow_p, ghigh_p,
+                dtype,
             )
         p = under_relax_own(p, s.p_old, alpha["p"])
         p = apply_bc_y(p, 2)

@@ -2,9 +2,13 @@
 
 The census is checked against hand-counted collectives of a toy
 shard_map program (payloads, scan folding, while nesting) and against
-the analytically-known halo sizes of the SPMD SIMPLE step: QUICK
-momentum exchanges 2-row halos, pressure 1-row, each sweep refreshes
-both red and black phases in both directions (4 ppermutes/sweep)."""
+the analytically-known halo sizes of the SPMD SIMPLE step's
+COMMUNICATION-AVOIDING schedule: one (2k+1)-row exchange buys k QUICK
+momentum sweeps, one 2k-row exchange buys k pressure sweeps, and the
+per-solve constants ride a single stacked pair (spmd_step.py). The
+400^2 full-step pin (`test_spmd_step_collective_census_pinned`) freezes
+the per-step call counts so a change that silently multiplies
+collectives fails CI (VERDICT r4 #6)."""
 
 import jax
 import jax.numpy as jnp
@@ -21,6 +25,7 @@ from sr_for_cfd_tpu.parallel.comm_budget import (
     spmd_chunk_census,
     step_traffic,
 )
+from sr_for_cfd_tpu.parallel.spmd_step import sweep_blocks
 from sr_for_cfd_tpu.solver.cases import make_cavity_solver
 
 N_DEV = 4
@@ -96,24 +101,116 @@ def small_chunk(small_case):
 
 
 def test_spmd_census_matches_analytic_halos(small_case, small_chunk):
-    """The SPMD chunk's halo payloads match the stencil analysis: QUICK
-    momentum halos are 2 rows of (ny+2) f32, pressure halos 1 row; each
-    sweep refreshes halos for both red-black phases in both directions
-    (4 ppermutes); a pressure loop trip batches check_every sweeps."""
+    """The SPMD chunk's halo payloads match the communication-avoiding
+    erosion analysis (spmd_step.ca_sweep_solve): a loop trip covers
+    check_every sweeps in blocks of at most (rows - extra)//2, each
+    block paying ONE fwd/bwd exchange of H = 2k + extra rows (extra = 1
+    for QUICK's radius-2 stencil, 0 for the 5-point pressure stencil);
+    the per-solve constants (old field + 4 face fluxes for momentum, the
+    RHS for pressure) ride one stacked pair per solve at H_max depth."""
     st = small_case.settings
-    row = (small_case.mesh.ny + 2) * 4  # one f32 ghost-inclusive row
+    rows = small_case.mesh.nx // N_DEV
+    ny = small_case.mesh.ny
+    row = (ny + 2) * 4        # one f32 ghost-inclusive row
+    crow = ny * 4             # one f32 interior (constants) row
     assert len(small_chunk.loops) == 3  # u, v, p in program order
 
-    for loop in small_chunk.loops[:2]:  # momentum: QUICK -> 2-row halos
-        halos = {s: c for (s, c) in
-                 [((x.name, x.payload_bytes), x.calls) for x in loop.sites]}
-        assert halos[("ppermute", 2 * row)] == 4 * st.momentum_check_every
+    mom_blocks = sweep_blocks(st.momentum_check_every, (rows - 1) // 2)
+    for loop in small_chunk.loops[:2]:  # momentum: QUICK -> d=2, extra=1
+        halos = {(s.name, s.payload_bytes): s.calls for s in loop.sites}
+        for kb in set(mom_blocks):
+            assert (halos[("ppermute", (2 * kb + 1) * row)]
+                    == 2 * mom_blocks.count(kb))
 
+    p_blocks = sweep_blocks(st.pressure_check_every, rows // 2)
     p_loop = small_chunk.loops[2]
     halos = {(s.name, s.payload_bytes): s.calls for s in p_loop.sites}
-    assert halos[("ppermute", row)] == 4 * st.pressure_check_every
+    for kb in set(p_blocks):
+        assert halos[("ppermute", 2 * kb * row)] == 2 * p_blocks.count(kb)
     # no unknown-trip loops hide inside the inner solves
     assert all(not lp.loops for lp in small_chunk.loops)
+
+    # the step-level constants exchanges: 5 momentum constants at
+    # H_max = 2*max(kb)+1 rows for each of u and v, 1 pressure RHS at
+    # H_max = 2*max(kb) rows
+    top = {(s.name, s.payload_bytes): s.calls for s in small_chunk.sites}
+    h_mom = 2 * mom_blocks[0] + 1
+    assert top[("ppermute", 5 * h_mom * crow)] == 4  # u + v, fwd + bwd
+    assert top[("ppermute", 2 * p_blocks[0] * crow)] == 2
+
+    # the whole point: per momentum loop trip the OLD schedule paid
+    # 4 ppermutes per sweep; the CA schedule pays 2 per block
+    for loop in small_chunk.loops[:2]:
+        halo_calls = sum(s.calls for s in loop.sites
+                         if s.name.startswith("ppermute"))
+        assert halo_calls == 2 * len(mom_blocks)
+        assert halo_calls <= 4 * st.momentum_check_every
+    p_halo_calls = sum(s.calls for s in p_loop.sites
+                       if s.name.startswith("ppermute"))
+    assert p_halo_calls == 2 * len(p_blocks)
+    assert p_halo_calls * 5 <= 4 * st.pressure_check_every  # >= 5x fewer
+
+
+def test_spmd_step_collective_census_pinned():
+    """Regression pin (VERDICT r4 #6): the per-outer-step collective
+    call counts of the 400^2 QUICK SPMD step at reference settings,
+    via step_traffic with FIXED inner-trip counts. A change that
+    silently multiplies collectives (e.g. reverting the communication-
+    avoiding schedule) fails here rather than only in the ICI budget."""
+    case = make_cavity_solver(nx=400, ny=400, Re=1050).case
+    st = case.settings
+    chunk = spmd_chunk_census(case, _mesh())
+    rows = 400 // N_DEV
+    # representative measured sweep counts (flow-dependent in reality;
+    # fixed here so the pin is deterministic): ~3 momentum sweeps, ~50
+    # pressure sweeps per outer step
+    trips = {"u": 3.0 * st.momentum_check_every,
+             "v": 3.0 * st.momentum_check_every,
+             "p": 48.0}
+    t = step_traffic(chunk, trips, case)
+    mom_trip_halos = 2 * len(sweep_blocks(st.momentum_check_every,
+                                          (rows - 1) // 2))
+    p_trip_halos = 2 * len(sweep_blocks(st.pressure_check_every,
+                                        rows // 2))
+    # step-level: 4 momentum-consts + 2 pressure-consts + 6 one-row
+    # (face fluxes x4, projection x2) = 12 halo exchanges
+    assert t["halo_calls_per_step"] == pytest.approx(
+        12.0 + 3.0 * mom_trip_halos * 2
+        + (48.0 / st.pressure_check_every) * p_trip_halos
+    )
+    # one rms psum per inner trip + 3 outer-residual psums
+    assert t["reduce_calls_per_step"] == pytest.approx(
+        3.0 + 3.0 * 2 + 48.0 / st.pressure_check_every
+    )
+    # the r4 schedule measured ~528 collectives per outer step at these
+    # sweep counts; the CA schedule must stay an order of magnitude under
+    assert t["calls_per_step"] < 60.0
+
+
+def test_spmd_mg_collective_census_pinned():
+    """Same pin for the multigrid pressure path: the V-cycle loop's
+    per-trip halo calls are 3 stacked pairs per sharded level (pre-
+    smooth, prolongation, post-smooth) after the CA rework of
+    spmd_mg.smooth_ca - not one pair per half-sweep."""
+    case = make_cavity_solver(
+        nx=400, ny=400, Re=1050, pressure_solver="multigrid"
+    ).case
+    chunk = spmd_chunk_census(case, _mesh())
+    p_loop = chunk.loops[2]
+    halo_calls = sum(s.calls for s in p_loop.sites
+                     if s.name.startswith("ppermute"))
+    # plan_spmd_mg keeps levels sharded while rows_l >= 8: at 400/4 dev
+    # that is levels 100, 50, 25, 12 rows... the exact sharded-level
+    # count comes from the plan; pin the measured value and bound it
+    from sr_for_cfd_tpu.parallel.spmd_mg import plan_spmd_mg
+
+    m = case.mesh
+    plan = plan_spmd_mg(m.nx, m.ny, m.dx, m.dy, m.volp, N_DEV,
+                        np.dtype(case.settings.dtype))
+    n_shard = plan.n_shard
+    # <= 4 pairs per sharded level (pre-smooth blocks may split) + the
+    # replicated-tail all_gather hand-off; >= 3 pairs per level
+    assert 6 * n_shard <= halo_calls <= 10 * n_shard + 4
 
 
 def test_step_traffic_cadence_conversion(small_case, small_chunk):
@@ -193,6 +290,39 @@ def test_traffic_split_and_ring_scaling(small_case, small_chunk):
     assert p8["ici_latency_ms"] > p2["ici_latency_ms"]
     # and the reduction wire factor 2(N-1)/N grows from 1.0 toward 2.0
     assert p8["ici_bandwidth_ms"] > p2["ici_bandwidth_ms"]
+
+
+def test_ca_compute_inflation_analytic():
+    """The redundant-compute factor of the communication-avoiding
+    schedule (VERDICT r4 #7): hand-computed for the sweeps-mode 400^2
+    QUICK case at 4 devices, and monotonic in device count (narrower
+    bands recompute proportionally more halo rows)."""
+    from sr_for_cfd_tpu.parallel.comm_budget import ca_compute_inflation
+
+    case = make_cavity_solver(nx=400, ny=400, Re=1050).case
+    st = case.settings
+    trips = {"u": 3.0, "v": 3.0, "p": 48.0}
+    rows = 400 // N_DEV  # 100
+    # momentum: mce=1 -> one block k=1, H=3, region rows+2(H-2)=rows+2
+    infl_m = (rows + 2.0) / rows
+    # pressure: pce=8, k_max=50 -> one block k=8, H=16, region rows+30
+    infl_p = (rows + 30.0) / rows
+    w_m, w_p = 2.0 * 6.0, 48.0
+    expect = (w_m * infl_m + w_p * infl_p) / (w_m + w_p)
+    got = ca_compute_inflation(case, N_DEV, trips)
+    assert got == pytest.approx(expect)
+    assert 1.0 < got < 1.5
+    assert (ca_compute_inflation(case, 8, trips)
+            > ca_compute_inflation(case, 2, trips))
+
+    # predict_scaling charges it against the decomposed compute term
+    t = {"bytes_per_step": 1e6, "calls_per_step": 10,
+         "halo_bytes_per_step": 1e6, "halo_calls_per_step": 10,
+         "reduce_bytes_per_step": 0.0, "reduce_calls_per_step": 0.0}
+    p_plain = predict_scaling(1.0, t, 4)
+    p_infl = predict_scaling(1.0, t, 4, compute_inflation=1.2)
+    assert p_infl["compute_ms"] == pytest.approx(
+        1.2 * p_plain["compute_ms"])
 
 
 def test_effective_momentum_cadence():
