@@ -132,7 +132,14 @@ if __name__ == "__main__":
     if summary:
         out = os.path.join(ART_DIR, "family_eval.json")
         existing = (json.load(open(out)) if os.path.exists(out) else [])
-        json.dump(existing + summary, open(out, "w"), indent=2)
+        # merge by lr_dim: a retrained pair REPLACES its record (the
+        # artifact quality gate, tests/test_artifacts.py, pins whatever
+        # number lives here - a stale duplicate would pin the old one)
+        redone = {r["lr_dim"] for r in summary}
+        merged = ([r for r in existing if r["lr_dim"] not in redone]
+                  + summary)
+        merged.sort(key=lambda r: r["lr_dim"])
+        json.dump(merged, open(out, "w"), indent=2)
         print("wrote", out, flush=True)
     # family-completeness gate: every trained pair must ship the msgpack
     # triple + .h5 triple + stats (reference export cell; VERDICT r3 #7)
