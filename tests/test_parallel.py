@@ -73,6 +73,44 @@ def test_spmd_solver_matches_single_device_quick():
         )
 
 
+@pytest.mark.parametrize("scheme,mce,pce", [
+    # mixed communication-avoiding block splits (spmd_step.sweep_blocks):
+    # rows = 20/4 = 5 -> QUICK k_max = 2, so cadence 3 splits [2, 1]
+    # (mixed halo depths in ONE solve trip); pressure k_max = 2, cadence
+    # 5 splits [2, 2, 1]
+    ("QUICK", 3, 5),
+    # UPWIND (d=1) with cadence > k_max on momentum too: k_max = 2,
+    # cadence 7 -> [2, 2, 2, 1]
+    ("UPWIND", 7, 7),
+])
+def test_spmd_ca_blocks_match_single_device(scheme, mce, pce):
+    """Bitwise parity of the communication-avoiding schedule when the
+    check cadence does NOT divide into equal blocks - every (kb, H)
+    combination of sweep_blocks' mixed splits reads the same values in
+    the same op order as the single-device loop (VERDICT r4 #1's
+    correctness condition at awkward cadences)."""
+    from sr_for_cfd_tpu.parallel.spmd_step import SpmdSolver, sweep_blocks
+    from sr_for_cfd_tpu.solver.cases import make_cavity_solver
+
+    rows = 20 // 4
+    extra = 1 if scheme == "QUICK" else 0
+    assert len(set(sweep_blocks(mce, (rows - extra) // 2))) > 1 or mce > 2
+    kw = dict(Re=100, nx=20, ny=18, dt=2e-3, scheme=scheme,
+              dtype="float64", chunk_size=80, max_iterations=160,
+              momentum_check_every=mce, pressure_check_every=pce)
+    ref = make_cavity_solver(**kw)
+    ref.solve("/tmp/unused_spmd_ca", verbose=False, save_results=False)
+
+    solver = SpmdSolver(make_cavity_solver(**kw).case, make_mesh(4, "x"))
+    local = solver.solve()
+    assert int(local.count) == int(ref.state.count)
+    fields = solver.global_fields()
+    for k in ("u", "v", "p"):
+        np.testing.assert_array_equal(
+            fields[k], np.asarray(getattr(ref.state, k))
+        )
+
+
 def test_spmd_solver_matches_single_device_bfs():
     """BFS on the SPMD path: the parabolic-inlet ghost override lands on
     rank 0 only; under-relaxation and UPWIND included."""
