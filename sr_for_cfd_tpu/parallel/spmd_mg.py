@@ -282,11 +282,11 @@ def make_spmd_mg_solve(plan: SpmdMGPlan, axis: str, n_dev: int, *,
         return x, res
 
     def smooth_band_pallas(x, b, lvl, n_sweeps, omega):
-        """Per-rank Pallas smoother: same masked red-black update as the
-        jnp path, one 2-row halo exchange per sweep (the kernel
-        recomputes the neighbor's red half on the halo rows locally,
-        `spmd_pallas.py` module docstring). b's halo travels once per
-        smooth call (frozen during the sweeps)."""
+        """Per-rank Pallas smoother with the communication-avoiding
+        block schedule: one 2kb-row halo exchange buys kb in-kernel
+        sweeps (`spmd_pallas.py` module docstring; same erosion
+        accounting as `smooth_ca`). b's halo travels once per smooth
+        call (frozen during the sweeps)."""
         from .spmd_pallas import extend_b_halo, shard_rb_sweep
 
         inv_dx2, inv_dy2 = plan.spacings[lvl]
@@ -294,19 +294,22 @@ def make_spmd_mg_solve(plan: SpmdMGPlan, axis: str, n_dev: int, *,
         rows = x.shape[0]
         rank = rank_of()
         row0 = jnp.full((1, 1), 1, jnp.int32) * (rank * rows)
-        b_ext = extend_b_halo(b, axis, fwd, bwd, rank, n_dev)
-        zc = jnp.zeros((rows + 4, 1), x.dtype)
+        blocks = sweep_blocks(n_sweeps, max(1, rows // 2))
+        h_max = 2 * blocks[0]
+        b_ext = extend_b_halo(b, axis, fwd, bwd, rank, n_dev, h=h_max)
 
-        def sweep(_, x):
-            ext = jnp.concatenate([zc, assemble0(x, h=2), zc], axis=1)
+        for kb in blocks:
+            h = 2 * kb
+            zc = jnp.zeros((rows + 2 * h, 1), x.dtype)
+            ext = jnp.concatenate([zc, assemble0(x, h=h), zc], axis=1)
             own, _ = shard_rb_sweep(
-                ext, b_ext, row0, nxg=nxl, inv_dx2=inv_dx2,
-                inv_dy2=inv_dy2, volp=plan.volp_levels[lvl], sor=omega,
+                ext, b_ext[h_max - h:h_max + rows + h], row0, nxg=nxl,
+                inv_dx2=inv_dx2, inv_dy2=inv_dy2,
+                volp=plan.volp_levels[lvl], sor=omega, h=h, kb=kb,
                 axis_name=axis, interpret=interpret,
             )
-            return own[:, 1:-1]
-
-        return jax.lax.fori_loop(0, n_sweeps, sweep, x)
+            x = own[:, 1:-1]
+        return x
 
     smooth_band = smooth_band_pallas if use_pallas else smooth_band_jnp
 

@@ -409,17 +409,21 @@ def _make_step(case: CaseConfig, profile: Optional[BFSInletProfile],
         return jnp.concatenate([up, arr, dn], axis=1)
 
     def ca_sweep_solve(x_own, region_residual, consts, sor, check_every,
-                       d, glow, ghigh, dtype):
+                       d, glow, ghigh, dtype, block_override=None):
         """`sweep_solve` with the communication-avoiding block schedule:
         same while_loop, stall policy and globally-psum'd rms at the
         same cadence, but each body trip exchanges once per block of
         sweeps instead of once per half-sweep. `region_residual(ext,
         consts_region) -> (r, ap)` evaluates the point residual over an
-        extended block's updatable region ext[d:-d]."""
+        extended block's updatable region ext[d:-d].
+        `block_override(f, kb, with_rms) -> (f, rms|None)` swaps the
+        whole block body (the per-shard Pallas kernel path) while
+        keeping the loop/stall policy and block schedule identical."""
         extra = 1 if d == 2 else 0
         blocks = sweep_blocks(check_every, (rows - extra) // 2)
-        H_max = 2 * blocks[0] + extra
-        ce_full = extend_consts(consts, H_max)
+        if block_override is None:
+            H_max = 2 * blocks[0] + extra
+            ce_full = extend_consts(consts, H_max)
         red_own = red_mask()
 
         def region_masks(H: int):
@@ -457,11 +461,13 @@ def _make_step(case: CaseConfig, profile: Optional[BFSInletProfile],
                     rms = jnp.sqrt(ss / n_cells)
             return fe[H:-H], rms
 
+        block = block_override if block_override is not None else block_sweeps
+
         def body(carry):
             f, prev, best, stale, checks, it = carry
             rms = None
             for bi, kb in enumerate(blocks):
-                f, r = block_sweeps(f, kb, with_rms=bi == len(blocks) - 1)
+                f, r = block(f, kb, bi == len(blocks) - 1)
                 if r is not None:
                     rms = r
             stale, best = stall_update(rms, prev, best, stale)
@@ -571,19 +577,26 @@ def _make_step(case: CaseConfig, profile: Optional[BFSInletProfile],
             x, _ = mg_solve(s.p[:, 1:-1], b_eff)
             p = s.p.at[:, 1:-1].set(x)
         elif use_pallas_p:
+            # communication-avoiding blocks through the per-shard kernel:
+            # one 2kb-row exchange per kb in-kernel sweeps, same block
+            # schedule/rms cadence as the jnp ca path
             from .spmd_pallas import extend_b_halo, shard_rb_sweep
 
             rank = rank_of()
-            b_ext = extend_b_halo(rho / dt * div_sum, axis, fwd, bwd,
-                                  rank, n_dev)
+            p_blocks = sweep_blocks(st.pressure_check_every, rows // 2)
+            h_max = 2 * p_blocks[0]
+            b_ext_full = extend_b_halo(rho / dt * div_sum, axis, fwd, bwd,
+                                       rank, n_dev, h=h_max)
             row0 = jnp.full((1, 1), 1, jnp.int32) * (rank * rows)
 
-            def sweep_pallas(f, with_rms):
-                ext = assemble(f, 2, glow_p, ghigh_p)
+            def block_pallas(f, kb, with_rms):
+                h = 2 * kb
+                ext = assemble(f, h, glow_p, ghigh_p)
                 own, ss = shard_rb_sweep(
-                    ext, b_ext, row0, nxg=nx,
-                    inv_dx2=1.0 / (dx * dx), inv_dy2=1.0 / (dy * dy),
-                    volp=volp, sor=p_sor, axis_name=axis,
+                    ext, b_ext_full[h_max - h:h_max + rows + h], row0,
+                    nxg=nx, inv_dx2=1.0 / (dx * dx),
+                    inv_dy2=1.0 / (dy * dy), volp=volp, sor=p_sor,
+                    h=h, kb=kb, axis_name=axis,
                     interpret=pallas_interpret,
                 )
                 rms = None
@@ -591,9 +604,9 @@ def _make_step(case: CaseConfig, profile: Optional[BFSInletProfile],
                     rms = jnp.sqrt(jax.lax.psum(ss, axis) / n_cells)
                 return own, rms
 
-            p = sweep_solve(
-                s.p, None, p_sor, st.pressure_check_every, dtype,
-                sweep_override=sweep_pallas,
+            p = ca_sweep_solve(
+                s.p, None, None, p_sor, st.pressure_check_every, 1,
+                glow_p, ghigh_p, dtype, block_override=block_pallas,
             )
         else:
             p = ca_sweep_solve(

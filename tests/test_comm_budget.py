@@ -187,6 +187,21 @@ def test_spmd_step_collective_census_pinned():
     assert t["calls_per_step"] < 60.0
 
 
+def test_spmd_pallas_census_matches_jnp_schedule(small_case):
+    """The per-shard Pallas pressure path (use_pallas=True) runs the SAME
+    communication-avoiding block schedule as the jnp path: one 2kb-row
+    exchange per kb in-kernel sweeps, b's halo once per outer step."""
+    case = make_cavity_solver(nx=40, ny=40, Re=100, use_pallas=True).case
+    chunk = spmd_chunk_census(case, _mesh())
+    st = case.settings
+    rows = 40 // N_DEV
+    p_loop = chunk.loops[2]
+    halo_calls = sum(s.calls for s in p_loop.sites
+                     if s.name.startswith("ppermute"))
+    assert halo_calls == 2 * len(sweep_blocks(st.pressure_check_every,
+                                              rows // 2))
+
+
 def test_spmd_mg_collective_census_pinned():
     """Same pin for the multigrid pressure path: the V-cycle loop's
     per-trip halo calls are 3 stacked pairs per sharded level (pre-
