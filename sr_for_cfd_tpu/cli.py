@@ -282,6 +282,99 @@ def cmd_bench(args):
     bench.main()
 
 
+def _plan_case(args):
+    from .solver.cases import make_bfs_solver, make_cavity_solver
+
+    kw = dict(
+        Re=args.re, nx=args.nx, ny=args.ny or args.nx, dt=args.dt,
+        scheme=args.scheme, dtype=args.dtype,
+        pressure_solver=args.pressure_solver, use_pallas=args.use_pallas,
+        fused_step=args.fused, steps_per_kernel=args.steps_per_kernel,
+    )
+    make = make_bfs_solver if args.case == "bfs" else make_cavity_solver
+    if args.case == "bfs" and args.ny is None:
+        del kw["ny"]  # BFS default ny tracks the 10x3 domain aspect
+    return make(**kw).case
+
+
+def _plan_argv(args, ms: float) -> list:
+    """Canonical `plan` argv for the virtual-mesh census subprocess."""
+    argv = [
+        "plan", "--case", args.case, "--re", str(args.re),
+        "--nx", str(args.nx), "--dt", str(args.dt),
+        "--scheme", args.scheme, "--dtype", args.dtype,
+        "--pressure-solver", args.pressure_solver,
+        "--ms-per-step", repr(ms),
+        "--trip-window", str(args.trip_window),
+        "--devices", *[str(d) for d in args.devices],
+        "--no-subprocess",
+    ]
+    if args.ny is not None:
+        argv += ["--ny", str(args.ny)]
+    if args.use_pallas:
+        argv.append("--use-pallas")
+    if args.fused:
+        argv.append("--fused")
+    if args.steps_per_kernel != 1:
+        argv += ["--steps-per-kernel", str(args.steps_per_kernel)]
+    if args.json:
+        argv += ["--json", args.json]
+    return argv
+
+
+def cmd_plan(args):
+    """Decomposition planner (parallel/planner.py): census + ICI model
+    -> recommended --spmd device count. When the backend has fewer
+    devices than the largest candidate (the usual single-TPU-host
+    situation), the single-chip ms/step is measured HERE on the real
+    backend and the census leg re-runs in a subprocess on a virtual CPU
+    mesh - the census is trace-only, so virtual devices are exact."""
+    import os
+    import subprocess
+
+    import jax
+
+    if os.environ.get("SRCFD_PLAN_FORCE_CPU"):
+        # the census-leg subprocess: a sitecustomize hook may have
+        # registered a TPU plugin and set jax_platforms at import time,
+        # so an env var alone cannot force CPU - the config update can
+        # (it must run before the first device query)
+        jax.config.update("jax_platforms", "cpu")
+
+    from .parallel import planner
+
+    case = _plan_case(args)
+    need = max(args.devices)
+    if len(jax.devices()) < need and not args.no_subprocess:
+        ms = args.ms_per_step
+        if ms is None:
+            ms = planner.measure_single_chip_ms(case)
+            print(f"measured single-chip {ms:.3f} ms/step on "
+                  f"{jax.default_backend()}", flush=True)
+        env = dict(os.environ)
+        env["SRCFD_PLAN_FORCE_CPU"] = "1"  # config-update in the child;
+        # JAX_PLATFORMS alone is overridden by TPU-plugin sitecustomize
+        env["JAX_PLATFORMS"] = "cpu"
+        env["XLA_FLAGS"] = (
+            env.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={need}"
+        ).strip()
+        raise SystemExit(subprocess.call(
+            [sys.executable, "-m", "sr_for_cfd_tpu.cli",
+             *_plan_argv(args, ms)],
+            env=env,
+        ))
+    plan = planner.plan_case(
+        case, ms_single=args.ms_per_step, device_counts=args.devices,
+        trip_window=args.trip_window,
+    )
+    print(planner.format_plan(plan))
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(plan, f, indent=1)
+        print(f"wrote {args.json}")
+
+
 def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(
         prog="srcfd",
@@ -355,6 +448,41 @@ def build_parser() -> argparse.ArgumentParser:
 
     p = sub.add_parser("bench", help="solver throughput benchmark")
     p.set_defaults(fn=cmd_bench)
+
+    p = sub.add_parser(
+        "plan",
+        help="decomposition planner: recommended --spmd device count "
+             "from the collective census + ICI model (no multi-chip "
+             "hardware needed)",
+    )
+    p.add_argument("--case", choices=["cavity", "bfs"], default="cavity")
+    p.add_argument("--re", type=float, default=1000)
+    p.add_argument("--nx", type=int, default=400)
+    p.add_argument("--ny", type=int, default=None)
+    p.add_argument("--dt", type=float, default=1e-3)
+    p.add_argument("--scheme", choices=["QUICK", "UPWIND"], default="QUICK")
+    p.add_argument("--dtype", choices=["float32", "float64"],
+                   default="float32")
+    p.add_argument("--pressure-solver", choices=["sweeps", "multigrid"],
+                   default="multigrid")
+    p.add_argument("--use-pallas", action="store_true")
+    p.add_argument("--fused", action="store_true",
+                   help="measure the single-chip baseline with the fused "
+                        "whole-step kernel (the honest best single-chip "
+                        "config; the decomposed path runs per-shard "
+                        "kernels instead)")
+    p.add_argument("--steps-per-kernel", type=int, default=1)
+    p.add_argument("--devices", type=int, nargs="+", default=[1, 2, 4, 8],
+                   help="candidate device counts")
+    p.add_argument("--ms-per-step", type=float, default=None,
+                   help="single-chip ms/step (default: measure live)")
+    p.add_argument("--trip-window", type=int, default=6,
+                   help="steps to measure inner-loop trip counts over")
+    p.add_argument("--json", default=None, help="write the plan as JSON")
+    p.add_argument("--no-subprocess", action="store_true",
+                   help="fail infeasible rows instead of re-running the "
+                        "census on a virtual CPU mesh")
+    p.set_defaults(fn=cmd_plan)
     return ap
 
 
