@@ -183,3 +183,29 @@ def test_plan_argv_round_trip():
         assert getattr(back, field) == getattr(args, field), field
     assert back.ms_per_step == pytest.approx(0.861)
     assert back.no_subprocess
+
+
+def test_cli_plan_subprocess_census(tmp_path):
+    """The single-TPU-host fallback end-to-end: asking for more devices
+    than the backend has (16 > 8 virtual) must re-exec the census leg
+    in a subprocess on a 16-device virtual CPU mesh (config-update
+    forced - env vars alone are overridden by TPU-plugin sitecustomize
+    hooks) and still produce the full plan."""
+    import subprocess
+    import sys
+
+    out = tmp_path / "plan_sub.json"
+    res = subprocess.run(
+        [sys.executable, "-m", "sr_for_cfd_tpu.cli", "plan",
+         "--nx", "32", "--ny", "16", "--dt", "2e-3", "--re", "100",
+         "--devices", "1", "16", "--ms-per-step", "1.0",
+         "--trip-window", "2", "--json", str(out)],
+        capture_output=True, text=True, timeout=600,
+        cwd=str(__import__("pathlib").Path(__file__).resolve().parent.parent),
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    plan = json.loads(out.read_text())
+    by_n = {r["n_devices"]: r for r in plan["rows"]}
+    assert by_n[16]["feasible"], by_n[16]
+    assert by_n[16]["collective_calls_per_step"] > 0
+    assert "recommendation" in plan
